@@ -1,0 +1,290 @@
+"""JAX fingerprint pipeline: STFT -> salience -> peaks -> landmark hashes.
+
+Exact mirror of ``audio_ident_tpu.cpu_reference.fingerprint`` (the parity
+oracle); every selection decision is made on quantized int32 keys so that
+TPU float noise (FFT rounding, reduce-window order) almost never flips a
+decision vs the NumPy golden path.  See spec.py for the frozen constants.
+
+This is the vectorized XLA formulation; the fused Pallas front-end kernel
+(ops/pallas_frontend.py) is a drop-in replacement for the
+frames->log-magnitude stage on TPU.
+
+TPU-first design notes:
+- all shapes static per duration bucket (spec.QUERY_BUCKETS_SEC);
+- the STFT is expressed as a real matmul against precomputed DFT bases so
+  it lands on the MXU (jnp.fft.rfft lowers to a slower generic FFT on TPU
+  for batch-of-1024 sizes); bf16 is NOT used here because hash decisions
+  are quantized from f32 log-magnitudes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_ident_tpu import spec
+
+
+# ---------------------------------------------------------------------------
+# Front-end: framing + windowed rFFT magnitude (MXU matmul formulation)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=1)
+def _dft_bases() -> np.ndarray:
+    """Precompute the combined windowed DFT basis [N_FFT, 2*N_BINS] f32.
+
+    mag[t, k] = |sum_n w[n] x[t, n] e^{-2πi n k / N}| — columns [0, 512) are
+    the cos (real) basis, [512, 1024) the sin (imag) basis, Hann folded in.
+    With N_BINS=512 this is a single MXU-perfect [1024, 1024] contraction.
+    """
+    n = spec.N_FFT
+    i = np.arange(n, dtype=np.float64)
+    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * i / n)
+    k = np.arange(spec.N_BINS, dtype=np.float64)
+    ang = -2.0 * np.pi * np.outer(i, k) / n
+    cos_b = (np.cos(ang) * win[:, None]).astype(np.float32)
+    sin_b = (np.sin(ang) * win[:, None]).astype(np.float32)
+    return np.concatenate([cos_b, sin_b], axis=1)
+
+
+def frame_signal_jax(x: jnp.ndarray) -> jnp.ndarray:
+    """Frame 1-D signal [S] -> [T, N_FFT] (static T from static S).
+
+    HOP divides N_FFT, so frames are built from N_FFT//HOP shifted views of
+    the hop-reshaped signal — pure slices + concat, no gather (gathers of
+    [T, 1024] indices are an HBM-bandwidth disaster on TPU).
+    """
+    t = spec.num_frames(x.shape[0])
+    if t <= 0:
+        return jnp.zeros((0, spec.N_FFT), jnp.float32)
+    ratio = spec.N_FFT // spec.HOP  # 4
+    need = (t - 1) + ratio  # hop-blocks required
+    x = x[: need * spec.HOP]
+    y = x.reshape(need, spec.HOP)
+    parts = [y[i : i + t] for i in range(ratio)]
+    return jnp.concatenate(parts, axis=1)
+
+
+def log_magnitude_jax(frames: jnp.ndarray, use_fft: bool = False) -> jnp.ndarray:
+    """Windowed rFFT log-magnitude [T, N_BINS] (float32).
+
+    ``use_fft=True`` uses jnp.fft.rfft (bit-closer to NumPy on CPU); the
+    default matmul formulation runs on the MXU and is the TPU-fast path.
+    Both agree to ~1e-5, far below the SALIENCE_QUANT decision step.
+    """
+    if use_fft:
+        i = jnp.arange(spec.N_FFT, dtype=jnp.float32)
+        win = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * i / spec.N_FFT)
+        fft = jnp.fft.rfft(frames * win, axis=-1)[..., : spec.N_BINS]
+        mag = jnp.abs(fft).astype(jnp.float32)
+    else:
+        # Precision.HIGHEST is required: the default matmul precision
+        # downcasts operands (bf16 passes on TPU) and the resulting
+        # ~1e-1 log-magnitude error destroys CPU/TPU hash parity
+        # (HIGH was measured to flip ~3% of hashes on some clips).
+        out = jnp.dot(
+            frames,
+            jnp.asarray(_dft_bases()),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        re = out[..., : spec.N_BINS]
+        im = out[..., spec.N_BINS :]
+        mag = jnp.sqrt(re * re + im * im)
+    return jnp.log(mag + jnp.float32(spec.LOG_FLOOR))
+
+
+# ---------------------------------------------------------------------------
+# Salience + peak selection
+# ---------------------------------------------------------------------------
+
+
+def _box_mean_jax(logmag: jnp.ndarray) -> jnp.ndarray:
+    """Zero-padded box sum / true neighbor count (mirrors _box_mean).
+
+    Separable: two 1-D reduce_windows (5x fewer VPU ops than the 2-D one).
+    """
+    t_r, f_r = spec.PEAK_TIME_RADIUS, spec.PEAK_FREQ_RADIUS
+    tdim, fdim = logmag.shape
+    summed = jax.lax.reduce_window(
+        logmag,
+        jnp.float32(0.0),
+        jax.lax.add,
+        window_dimensions=(2 * t_r + 1, 1),
+        window_strides=(1, 1),
+        padding="SAME",
+    )
+    summed = jax.lax.reduce_window(
+        summed,
+        jnp.float32(0.0),
+        jax.lax.add,
+        window_dimensions=(1, 2 * f_r + 1),
+        window_strides=(1, 1),
+        padding="SAME",
+    )
+    ti = jnp.arange(tdim)
+    fi = jnp.arange(fdim)
+    count_t = jnp.minimum(ti + t_r, tdim - 1) - jnp.maximum(ti - t_r, 0) + 1
+    count_f = jnp.minimum(fi + f_r, fdim - 1) - jnp.maximum(fi - f_r, 0) + 1
+    counts = (count_t[:, None] * count_f[None, :]).astype(jnp.float32)
+    return summed / counts
+
+
+def quantized_salience_jax(logmag: jnp.ndarray) -> jnp.ndarray:
+    """q = floor(salience * SALIENCE_QUANT) int32 (mirrors golden)."""
+    sal = logmag - _box_mean_jax(logmag)
+    return jnp.floor(sal * jnp.float32(spec.SALIENCE_QUANT)).astype(jnp.int32)
+
+
+def _tie_key_jax(q: jnp.ndarray) -> jnp.ndarray:
+    tdim, fdim = q.shape
+    tt = (jax.lax.broadcasted_iota(jnp.int32, (tdim, fdim), 0) % 32) * 32
+    ff = jax.lax.broadcasted_iota(jnp.int32, (tdim, fdim), 1) % 32
+    return q * 1024 + tt + ff
+
+
+def _local_max_mask_jax(q: jnp.ndarray) -> jnp.ndarray:
+    key = _tie_key_jax(q)
+    init = jnp.int32(-(2**31) + 1)
+    pooled = jax.lax.reduce_window(
+        key,
+        init,
+        jax.lax.max,
+        window_dimensions=(2 * spec.PEAK_TIME_RADIUS + 1, 1),
+        window_strides=(1, 1),
+        padding="SAME",
+    )
+    pooled = jax.lax.reduce_window(
+        pooled,
+        init,
+        jax.lax.max,
+        window_dimensions=(1, 2 * spec.PEAK_FREQ_RADIUS + 1),
+        window_strides=(1, 1),
+        padding="SAME",
+    )
+    return key == pooled
+
+
+def select_peaks_jax(q: jnp.ndarray, budget: int):
+    """Two-stage deterministic peak selection -> (t, f, valid) of [budget]."""
+    tdim, fdim = q.shape
+    mask = _local_max_mask_jax(q)
+    fi = jax.lax.broadcasted_iota(jnp.int32, (tdim, fdim), 1)
+    mask = mask & (fi >= spec.MIN_FREQ_BIN) & (fi <= spec.MAX_FREQ_BIN) & (q > 0)
+    qm = jnp.where(mask, q, jnp.int32(spec.Q_INVALID))
+
+    # stage 1: per-frame top-P by unique key (q desc, f asc).
+    # Iterative argmax+mask: P cheap VPU passes instead of an XLA top_k
+    # (which lowers to a full per-frame sort and dominated the profile).
+    p = spec.PEAKS_PER_FRAME_CAP
+    key1 = qm * 1024 + (1023 - fi)
+    f_cols = []
+    key_work = key1
+    neg = jnp.int32(-(2**31) + 1)
+    for _ in range(p):
+        j = jnp.argmax(key_work, axis=1).astype(jnp.int32)  # [T]
+        f_cols.append(j)
+        key_work = jnp.where(fi == j[:, None], neg, key_work)
+    f_sel = jnp.stack(f_cols, axis=1)  # [T, P]
+    q_sel = jnp.take_along_axis(qm, f_sel, axis=1)
+    t_sel = jax.lax.broadcasted_iota(jnp.int32, (tdim, p), 0)
+
+    # stage 2: select the global top-``budget`` by (q desc, (t,f) asc)
+    # WITHOUT a large sort: counting-sort threshold.  The flat candidate
+    # array is ordered (t asc, then q desc with f asc among equal q) by
+    # stage-1 construction, so among candidates with EQUAL q the flat order
+    # is exactly (t, f) ascending — a cumsum gives the tie rank directly.
+    # Salience q is bounded (~3e3 << 4096), so a 4096-bin histogram plus a
+    # reverse cumsum yields the exact q threshold.
+    q_flat = q_sel.reshape(-1)
+    t_flat = t_sel.reshape(-1)
+    f_flat = f_sel.reshape(-1)
+    tf_flat = t_flat * 1024 + f_flat
+    n_cand = q_flat.shape[0]
+
+    q_ok = q_flat > 0
+    qc = jnp.clip(q_flat, 0, 4095)
+    bins = jnp.arange(4096, dtype=jnp.int32)
+    hist = jnp.sum(
+        ((qc[None, :] == bins[:, None]) & q_ok[None, :]).astype(jnp.int32), axis=1
+    )
+    total = jnp.sum(hist)
+    # n_above[v] = #candidates with q > v  (monotone non-increasing in v)
+    n_above = total - jnp.cumsum(hist)
+    q_star = jnp.sum((n_above > budget).astype(jnp.int32))  # threshold value
+    n_above_star = jnp.sum(
+        jnp.where(bins == q_star, n_above, 0)
+    )
+    fill = budget - n_above_star
+    tie_rank = jnp.cumsum(((qc == q_star) & q_ok).astype(jnp.int32))
+    selected = q_ok & ((qc > q_star) | ((qc == q_star) & (tie_rank <= fill)))
+
+    # compact + order by (t, f) asc in one small single-key sort
+    sort_key = jnp.where(selected, tf_flat, jnp.int32(spec.TF_INVALID))
+    key_sorted = jax.lax.sort(sort_key)[:budget] if n_cand >= budget else jnp.pad(
+        jax.lax.sort(sort_key), (0, budget - n_cand), constant_values=spec.TF_INVALID
+    )
+    valid = key_sorted != jnp.int32(spec.TF_INVALID)
+    t_out = jnp.where(valid, key_sorted >> 10, -1)
+    f_out = jnp.where(valid, key_sorted & 1023, -1)
+    return t_out, f_out, valid
+
+
+def pair_hashes_jax(t: jnp.ndarray, f: jnp.ndarray, valid: jnp.ndarray):
+    """Anchor-target pairing -> (hashes uint32, t_anchor int32, valid)."""
+    k = t.shape[0]
+    lk = spec.PAIR_LOOKAHEAD
+    pad_t = jnp.concatenate([t, jnp.full(lk, -1, jnp.int32)])
+    pad_f = jnp.concatenate([f, jnp.full(lk, -1, jnp.int32)])
+    pad_v = jnp.concatenate([valid, jnp.zeros(lk, bool)])
+
+    # targets[j-1] = peak shifted by j  -> arrays [K, LK]
+    tj = jnp.stack([pad_t[j : j + k] for j in range(1, lk + 1)], axis=1)
+    fj = jnp.stack([pad_f[j : j + k] for j in range(1, lk + 1)], axis=1)
+    vj = jnp.stack([pad_v[j : j + k] for j in range(1, lk + 1)], axis=1)
+
+    dt = tj - t[:, None]
+    df = fj - f[:, None]
+    ok = (
+        valid[:, None]
+        & vj
+        & (dt >= spec.MIN_DT)
+        & (dt <= spec.MAX_DT)
+        & (jnp.abs(df) <= spec.MAX_DF)
+    )
+    h = (
+        (f[:, None].astype(jnp.uint32) << spec.F_ANCHOR_SHIFT)
+        | (((df + spec.DF_BIAS).astype(jnp.uint32) & 0xFF) << spec.DF_SHIFT)
+        | (dt.astype(jnp.uint32) & 0x7F)
+    )
+    keep = ok & (jnp.cumsum(ok.astype(jnp.int32), axis=1) <= spec.FAN_OUT)
+    hashes = jnp.where(keep, h, jnp.uint32(0))
+    t_anchor = jnp.broadcast_to(t[:, None], (k, lk))
+    return hashes.reshape(-1), t_anchor.reshape(-1), keep.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+
+def fingerprint_jax(pcm_16k: jnp.ndarray, budget: int, use_fft: bool = False):
+    """16 kHz float32 [S] -> (hashes u32 [budget*LK], t_anchor i32, valid).
+
+    Jittable for a static S; batch with ``fingerprint_batch``/vmap.
+    """
+    frames = frame_signal_jax(pcm_16k)
+    logmag = log_magnitude_jax(frames, use_fft=use_fft)
+    q = quantized_salience_jax(logmag)
+    t, f, valid = select_peaks_jax(q, budget)
+    return pair_hashes_jax(t, f, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("budget", "use_fft"))
+def fingerprint_batch(pcm_16k: jnp.ndarray, budget: int, use_fft: bool = False):
+    """Batched pipeline [B, S] -> (hashes [B, H], t_anchor [B, H], valid)."""
+    return jax.vmap(lambda x: fingerprint_jax(x, budget, use_fft))(pcm_16k)

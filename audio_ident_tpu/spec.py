@@ -1,0 +1,133 @@
+"""Frozen algorithm specification for the exact-identification fingerprint.
+
+This is the single source of truth shared by the NumPy golden reference
+(``audio_ident_tpu.cpu_reference``) and the JAX/TPU pipeline
+(``audio_ident_tpu.ops``).  Fingerprints are persisted in the index, so the
+values here are FROZEN for format version 1: changing any of them requires
+bumping ``FORMAT_VERSION`` and rebuilding indexes from the raw blob store
+(mirrors the reference's ``make rebuild-index`` recovery path,
+reference: Makefile:96-107).
+
+Algorithm lineage: Shazam/Wang-2003 spectral-peak constellation + landmark
+pair hashing as used by the reference's external Olaf engine
+(reference: audio-ident-service/app/audio/fingerprint.py:1-11;
+docs/research/01-initial-research/02-fingerprinting-survey.md:34,137-140).
+The reference never vendored Olaf's C source, so the bit format below is OUR
+frozen definition; "hash parity" means CPU-reference vs TPU-path parity on
+this spec (SURVEY.md §7 hard part 1).
+
+Decision quantization: every comparison that picks peaks is made on
+``floor(salience * SALIENCE_QUANT)`` as int32, so that sub-1e-6 floating
+point differences between NumPy (host) and XLA (TPU) almost never flip a
+selection decision.  Ties break on flat index ascending.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+FORMAT_VERSION = 1
+
+# --- Audio front-end (exact lane) -------------------------------------------
+SAMPLE_RATE = 16_000          # Hz, mono float32 (matches reference Olaf input,
+                              # reference: app/audio/fingerprint.py:10)
+N_FFT = 1024                  # samples per analysis frame
+HOP = 256                     # hop size -> 62.5 frames/sec
+FRAMES_PER_SEC = SAMPLE_RATE / HOP
+N_BINS = N_FFT // 2           # spectrogram bins kept (512; the Nyquist bin
+                              # is dropped so the frame->spectrum matmul is
+                              # a single MXU-aligned [1024, 1024] contraction)
+
+# --- Peak picking ------------------------------------------------------------
+PEAK_TIME_RADIUS = 3          # local-max neighborhood, frames (+/-)
+PEAK_FREQ_RADIUS = 9          # local-max neighborhood, bins (+/-)
+PEAKS_PER_SEC = 20            # global salience top-K density
+PEAKS_PER_FRAME_CAP = 6       # per-frame preselect width (stage 1)
+MIN_FREQ_BIN = 2              # ignore DC / lowest bins (rumble)
+MAX_FREQ_BIN = 511            # keep anchor freq in 9 bits [0, 511]
+SALIENCE_QUANT = 256.0        # decision quantization for CPU/TPU parity
+LOG_FLOOR = 1e-3              # log-magnitude floor (keeps platform FFT noise
+                              # at near-silent bins below SALIENCE_QUANT step)
+Q_INVALID = -(1 << 20)        # sentinel quantized salience for masked cells
+                              # (small enough that q*1024 stays in int32)
+TF_INVALID = 1 << 30          # sentinel (t*1024+f) sort key for masked peaks
+
+# --- Landmark pairing / hash packing -----------------------------------------
+PAIR_LOOKAHEAD = 16           # candidate targets: next peaks in (t, f) order
+FAN_OUT = 6                   # max targets actually paired per anchor
+MIN_DT = 1                    # frames (target strictly after anchor)
+MAX_DT = 63                   # frames (~1.0 s target zone)
+MAX_DF = 127                  # bins (|f_target - f_anchor| <= 127)
+
+# hash = (f_anchor << 15) | ((df + 128) << 7) | dt        (24 bits)
+HASH_BITS = 24
+HASH_SPACE = 1 << HASH_BITS   # 16,777,216 buckets
+F_ANCHOR_SHIFT = 15
+DF_SHIFT = 7
+DF_BIAS = 128
+
+# --- Matching / vote histogram ------------------------------------------------
+OFFSET_BIN_FRAMES = 8         # histogram bin = 8 frames = 0.128 s
+OFFSET_BIN_NEG = 16           # bins reserved for slightly-negative offsets
+MAX_OFFSET_BINS = 16_384      # per-track offset bins (covers 30 min tracks)
+CANDIDATE_TRACKS = 64         # pass-1 preselect width
+PROBE_FANOUT_MAIN = 16        # postings examined per query hash (main CSR)
+PROBE_FANOUT_DELTA = 8        # postings examined per query hash (delta)
+
+# --- Match scoring (mirrors reference exact-lane scoring,
+#     reference: app/search/exact.py:33-62) -----------------------------------
+MIN_ALIGNED_HASHES = 8
+STRONG_MATCH_HASHES = 20
+SHORT_CLIP_THRESHOLD_SEC = 5.0
+SUB_WINDOWS = ((0.0, 3.5), (0.75, 4.25), (1.5, 5.0))
+
+# --- Vibe lane chunking (mirrors reference CLAP chunking,
+#     reference: app/audio/embedding.py:18-23) --------------------------------
+EMBED_SAMPLE_RATE = 48_000
+CHUNK_WINDOW_SEC = 10.0
+CHUNK_HOP_SEC = 5.0
+MIN_CHUNK_SEC = 1.0
+EMBED_DIM = 512
+
+# --- Ingest / query duration buckets (static shapes for XLA) ------------------
+QUERY_BUCKETS_SEC = (4, 6, 8, 12, 16, 24, 32)
+INGEST_BUCKETS_SEC = (16, 32, 64, 128, 256, 512, 1024, 1800)
+
+
+def pack_hash_np(f_anchor, df, dt):
+    """Pack landmark components into the 24-bit hash (NumPy/int arrays ok)."""
+    return (f_anchor << F_ANCHOR_SHIFT) | ((df + DF_BIAS) << DF_SHIFT) | dt
+
+
+def num_frames(num_samples: int) -> int:
+    """Number of STFT frames for ``num_samples`` (no centering/padding)."""
+    if num_samples < N_FFT:
+        return 0
+    return 1 + (num_samples - N_FFT) // HOP
+
+
+def max_peaks(num_samples: int) -> int:
+    """Static peak budget for a clip of ``num_samples`` samples."""
+    dur = num_samples / SAMPLE_RATE
+    return max(int(round(dur * PEAKS_PER_SEC)), 8)
+
+
+def max_hashes(num_samples: int) -> int:
+    """Static hash budget for a clip of ``num_samples`` samples."""
+    return max_peaks(num_samples) * FAN_OUT
+
+
+@dataclass(frozen=True)
+class FingerprintSpec:
+    """Bundled spec constants (handy for passing to kernels/tests)."""
+
+    sample_rate: int = SAMPLE_RATE
+    n_fft: int = N_FFT
+    hop: int = HOP
+    peaks_per_sec: int = PEAKS_PER_SEC
+    fan_out: int = FAN_OUT
+    format_version: int = FORMAT_VERSION
+
+
+SPEC = FingerprintSpec()
