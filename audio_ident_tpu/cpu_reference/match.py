@@ -10,20 +10,26 @@ reference offset), reference: app/audio/fingerprint.py:30-50.
 Index layout (shared with the device path, see audio_ident_tpu.index.store):
 - main CSR: ``offsets`` int32 [HASH_SPACE+1]; postings ``tracks``/``times``
   int32 [N], lexsorted by (hash, track, time).
-- delta: ``d_hash`` uint32 [C] (lexsorted the same way), ``d_track``,
-  ``d_time`` int32 [C], logical length ``d_count``.
+- delta: ``d_hash`` int32 [C] (lexsorted the same way), ``d_track``,
+  ``d_time`` int32 [C], logical length ``d_count``.  New ingests land in the
+  delta; a background merge folds it into the CSR (LSM-style, the
+  functional-JAX answer to LMDB's mutable B-tree).
 - ``track_valid``: bool [max_tracks] tombstone bitmap (delete support).
 
-Frozen decision rules:
+Frozen decision rules (mirrored exactly by the device matcher — the device
+formulation is sort-based run counting, chosen so the TPU path needs no
+scatters; this NumPy path computes the same function):
 1. per query hash, examine the first PROBE_FANOUT_MAIN postings of its main
    bucket and the first PROBE_FANOUT_DELTA delta postings.
 2. a vote is (track, bin) with bin = floor((t_ref - t_query) /
    OFFSET_BIN_FRAMES) + OFFSET_BIN_NEG, valid iff 0 <= bin < MAX_OFFSET_BINS
    and the track's tombstone bit is set.
-3. pass 1 preselects CANDIDATE_TRACKS tracks by raw vote count (ties: lowest
-   track id).  pass 2 histograms votes per candidate over offset bins;
-   aligned_hashes = max over b of hist[b] + hist[b+1] (ties: lowest b);
-   offset = mean dt (frames) of the votes inside the winning bin pair.
+3. window score of (track, b) = votes(track, b) + votes(track, b+1)
+   (adjacent-bin tolerance).  Take the top 2*CANDIDATE_TRACKS windows by
+   (score desc, (track, b) asc), deduplicate per track keeping the first
+   (= best) window, keep the first CANDIDATE_TRACKS tracks.
+4. aligned_hashes = window score; offset = mean dt (frames) of the votes in
+   the winning bin pair, reported in seconds.
 """
 
 from __future__ import annotations
@@ -37,14 +43,14 @@ from audio_ident_tpu import spec
 
 @dataclass
 class MatchResult:
-    """Top candidate tracks, strongest first (aligned desc, track asc)."""
+    """Top candidate tracks, strongest first (aligned desc, key asc)."""
 
-    track: np.ndarray  # int32 [CANDIDATE_TRACKS] internal track row ids
+    track: np.ndarray  # int32 [CANDIDATE_TRACKS] internal track rows (-1 pad)
     aligned: np.ndarray  # int32 [CANDIDATE_TRACKS] aligned hash counts
     offset_sec: np.ndarray  # float32 [CANDIDATE_TRACKS]
 
 
-def _probe_votes_np(
+def probe_votes_np(
     q_hash: np.ndarray,
     q_time: np.ndarray,
     q_valid: np.ndarray,
@@ -56,60 +62,55 @@ def _probe_votes_np(
     d_time: np.ndarray,
     d_count: int,
     track_valid: np.ndarray,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Gather all candidate votes -> (v_track, v_bin, v_dt, v_valid)."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Gather candidate votes -> (v_track, v_bin, v_dt) int64, valid only."""
     h = q_hash.astype(np.int64)
     n_post = len(tracks)
+    qt = q_time.astype(np.int64)
+    max_tracks = len(track_valid)
 
-    vt_list, vbin_list, vdt_list, vv_list = [], [], [], []
+    vt_list, vbin_list, vdt_list = [], [], []
 
-    # main CSR probe
-    start = offsets[h].astype(np.int64)
-    end = offsets[h + 1].astype(np.int64)
-    for k in range(spec.PROBE_FANOUT_MAIN):
-        pos = start + k
-        ok = q_valid & (pos < end)
-        pos_c = np.clip(pos, 0, max(n_post - 1, 0))
-        if n_post == 0:
-            ok = np.zeros_like(ok)
-            pos_c = np.zeros_like(pos_c)
-            rt = np.zeros_like(pos_c, dtype=np.int64)
-            rtrk = np.zeros_like(pos_c, dtype=np.int64)
-        else:
-            rt = times[pos_c].astype(np.int64)
-            rtrk = tracks[pos_c].astype(np.int64)
-        dt = rt - q_time.astype(np.int64)
+    def emit(rtrk, rt, ok):
+        dt = rt - qt
         b = dt // spec.OFFSET_BIN_FRAMES + spec.OFFSET_BIN_NEG
-        ok = ok & (b >= 0) & (b < spec.MAX_OFFSET_BINS) & track_valid[np.clip(rtrk, 0, len(track_valid) - 1)]
-        vt_list.append(rtrk)
-        vbin_list.append(b)
-        vdt_list.append(dt)
-        vv_list.append(ok)
+        ok = (
+            ok
+            & (b >= 0)
+            & (b < spec.MAX_OFFSET_BINS)
+            & track_valid[np.clip(rtrk, 0, max_tracks - 1)]
+        )
+        vt_list.append(rtrk[ok])
+        vbin_list.append(b[ok])
+        vdt_list.append(dt[ok])
 
-    # delta probe
+    if n_post > 0:
+        start = offsets[h].astype(np.int64)
+        end = offsets[h + 1].astype(np.int64)
+        for k in range(spec.PROBE_FANOUT_MAIN):
+            pos = start + k
+            ok = q_valid & (pos < end)
+            pos_c = np.clip(pos, 0, n_post - 1)
+            emit(tracks[pos_c].astype(np.int64), times[pos_c].astype(np.int64), ok)
+
     if d_count > 0:
-        dh = d_hash[:d_count]
-        start_d = np.searchsorted(dh, q_hash, side="left").astype(np.int64)
+        dh = d_hash[:d_count].astype(np.int64)
+        start_d = np.searchsorted(dh, h, side="left")
         for k in range(spec.PROBE_FANOUT_DELTA):
             pos = start_d + k
             inb = pos < d_count
             pos_c = np.clip(pos, 0, d_count - 1)
-            ok = q_valid & inb & (dh[pos_c] == q_hash)
-            rt = d_time[pos_c].astype(np.int64)
-            rtrk = d_track[pos_c].astype(np.int64)
-            dt = rt - q_time.astype(np.int64)
-            b = dt // spec.OFFSET_BIN_FRAMES + spec.OFFSET_BIN_NEG
-            ok = ok & (b >= 0) & (b < spec.MAX_OFFSET_BINS) & track_valid[np.clip(rtrk, 0, len(track_valid) - 1)]
-            vt_list.append(rtrk)
-            vbin_list.append(b)
-            vdt_list.append(dt)
-            vv_list.append(ok)
+            ok = q_valid & inb & (dh[pos_c] == h)
+            emit(d_track[pos_c].astype(np.int64), d_time[pos_c].astype(np.int64), ok)
 
-    v_track = np.concatenate(vt_list) if vt_list else np.zeros(0, dtype=np.int64)
-    v_bin = np.concatenate(vbin_list) if vbin_list else np.zeros(0, dtype=np.int64)
-    v_dt = np.concatenate(vdt_list) if vdt_list else np.zeros(0, dtype=np.int64)
-    v_valid = np.concatenate(vv_list) if vv_list else np.zeros(0, dtype=bool)
-    return v_track, v_bin, v_dt, v_valid
+    if not vt_list:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    return (
+        np.concatenate(vt_list),
+        np.concatenate(vbin_list),
+        np.concatenate(vdt_list),
+    )
 
 
 def match_votes_np(
@@ -125,47 +126,58 @@ def match_votes_np(
     d_count: int,
     track_valid: np.ndarray,
 ) -> MatchResult:
-    """Two-pass probe + vote (see module docstring for frozen semantics)."""
-    max_tracks = len(track_valid)
-    v_track, v_bin, v_dt, v_valid = _probe_votes_np(
+    """Window-vote matcher (see module docstring for frozen semantics)."""
+    nc = spec.CANDIDATE_TRACKS
+    nw = 2 * nc
+
+    v_track, v_bin, v_dt = probe_votes_np(
         q_hash, q_time, q_valid, offsets, tracks, times,
         d_hash, d_track, d_time, d_count, track_valid,
     )
 
-    nc = spec.CANDIDATE_TRACKS
-
-    # pass 1: raw vote count per track, preselect top candidates
-    counts = np.bincount(
-        v_track[v_valid].astype(np.int64), minlength=max_tracks
-    ).astype(np.int64)
-    order = np.argsort(-counts, kind="stable")[:nc]  # ties -> lowest track id
-    cand = np.sort(order.astype(np.int64))  # ascending for searchsorted
-
-    # pass 2: per-candidate offset histogram
-    slot = np.searchsorted(cand, v_track)
-    slot_c = np.clip(slot, 0, nc - 1)
-    hit = v_valid & (cand[slot_c] == v_track)
-    key = slot_c * spec.MAX_OFFSET_BINS + v_bin
-    nbins = nc * spec.MAX_OFFSET_BINS
-    hist = np.bincount(key[hit], minlength=nbins).astype(np.int32)
-    dt_sum = np.bincount(
-        key[hit], weights=v_dt[hit].astype(np.float64), minlength=nbins
-    ).astype(np.float32)
-    hist = hist.reshape(nc, spec.MAX_OFFSET_BINS)
-    dt_sum = dt_sum.reshape(nc, spec.MAX_OFFSET_BINS)
-
-    w = hist[:, :-1] + hist[:, 1:]
-    aligned = w.max(axis=1).astype(np.int32)
-    best_b = w.argmax(axis=1)
-    dt_win = dt_sum[np.arange(nc), best_b] + dt_sum[np.arange(nc), best_b + 1]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        offset_frames = np.where(aligned > 0, dt_win / np.maximum(aligned, 1), 0.0)
-    offset_sec = (offset_frames / spec.FRAMES_PER_SEC).astype(np.float32)
-
-    # rank: aligned desc, track asc (cand already ascending; stable sort)
-    rank = np.argsort(-aligned.astype(np.int64), kind="stable")
-    return MatchResult(
-        track=cand[rank].astype(np.int32),
-        aligned=aligned[rank],
-        offset_sec=offset_sec[rank],
+    empty = MatchResult(
+        track=np.full(nc, -1, dtype=np.int32),
+        aligned=np.zeros(nc, dtype=np.int32),
+        offset_sec=np.zeros(nc, dtype=np.float32),
     )
+    if len(v_track) == 0:
+        return empty
+
+    keys = v_track * spec.MAX_OFFSET_BINS + v_bin
+    uniq, counts = np.unique(keys, return_counts=True)
+    pos = np.searchsorted(uniq, keys)
+    dt_sum = np.bincount(pos, weights=v_dt.astype(np.float64), minlength=len(uniq))
+
+    nxt = np.searchsorted(uniq, uniq + 1)
+    nxt_c = np.clip(nxt, 0, len(uniq) - 1)
+    has_next = (nxt < len(uniq)) & (uniq[nxt_c] == uniq + 1) & (
+        (uniq + 1) // spec.MAX_OFFSET_BINS == uniq // spec.MAX_OFFSET_BINS
+    )
+    win = counts + np.where(has_next, counts[nxt_c], 0)
+    dt_win = dt_sum + np.where(has_next, dt_sum[nxt_c], 0.0)
+
+    # top 2*NC windows by (score desc, key asc)
+    order = np.lexsort((uniq, -win))[:nw]
+    trk_o = (uniq[order] // spec.MAX_OFFSET_BINS).astype(np.int64)
+    win_o = win[order].astype(np.int64)
+    off_o = (dt_win[order] / np.maximum(win_o, 1) / spec.FRAMES_PER_SEC).astype(
+        np.float32
+    )
+
+    # dedup per track keeping the first (= best) window, first NC tracks
+    out_t = np.full(nc, -1, dtype=np.int32)
+    out_a = np.zeros(nc, dtype=np.int32)
+    out_o = np.zeros(nc, dtype=np.float32)
+    seen: set[int] = set()
+    j = 0
+    for i in range(len(trk_o)):
+        if win_o[i] <= 0 or int(trk_o[i]) in seen:
+            continue
+        seen.add(int(trk_o[i]))
+        out_t[j] = trk_o[i]
+        out_a[j] = win_o[i]
+        out_o[j] = off_o[i]
+        j += 1
+        if j >= nc:
+            break
+    return MatchResult(track=out_t, aligned=out_a, offset_sec=out_o)

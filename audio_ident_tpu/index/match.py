@@ -1,0 +1,188 @@
+"""Device matcher: batched hash-bucket probe + offset-histogram voting.
+
+Mirrors ``cpu_reference.match.match_votes_np`` exactly (frozen semantics) in
+a TPU-friendly, scatter-free formulation:
+
+- probes are pure gathers (CSR bucket fan-out + delta binary search);
+- vote histogramming is sort-based run counting: votes are lexicographically
+  sorted by (track, bin), run lengths come from cummax/cummin scans, and the
+  adjacent-bin window score reads the next run via gathers;
+- top-candidate selection is a single top_k + an O(nw^2) dedup mask.
+
+Everything is int32/f32 (no x64 requirement); all shapes static per
+(query-bucket, index-capacity) pair, so XLA compiles one program per bucket
+and caches it.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_ident_tpu import spec
+
+TRACK_SENTINEL = np.int32(1 << 30)
+HASH_SENTINEL = np.int32(0x7FFFFFFF)
+
+
+@dataclass
+class DeviceIndex:
+    """Immutable device mirror of a FingerprintIndex (capacity-padded)."""
+
+    offsets: jax.Array  # int32 [HASH_SPACE + 1]
+    tracks: jax.Array  # int32 [cap_main]
+    times: jax.Array  # int32 [cap_main]
+    n_main: jax.Array  # int32 scalar (logical postings)
+    d_hash: jax.Array  # int32 [cap_delta] (sorted; HASH_SENTINEL padding)
+    d_track: jax.Array  # int32 [cap_delta]
+    d_time: jax.Array  # int32 [cap_delta]
+    d_count: jax.Array  # int32 scalar
+    track_valid: jax.Array  # bool [max_tracks]
+    version: int = -1
+
+    @staticmethod
+    def _pad_pow2(a: np.ndarray, fill, min_cap: int = 1024) -> np.ndarray:
+        cap = max(min_cap, 1 << int(np.ceil(np.log2(max(len(a), 1)))))
+        out = np.full(cap, fill, dtype=a.dtype)
+        out[: len(a)] = a
+        return out
+
+    @classmethod
+    def from_host(cls, idx, device=None) -> "DeviceIndex":
+        """Build from a FingerprintIndex (flushes pending first)."""
+        idx.flush()
+        put = functools.partial(jax.device_put, device=device)
+        return cls(
+            offsets=put(idx.offsets),
+            tracks=put(cls._pad_pow2(idx.tracks, 0)),
+            times=put(cls._pad_pow2(idx.times, 0)),
+            n_main=put(np.int32(len(idx.tracks))),
+            d_hash=put(cls._pad_pow2(idx.d_hash, HASH_SENTINEL)),
+            d_track=put(cls._pad_pow2(idx.d_track, 0)),
+            d_time=put(cls._pad_pow2(idx.d_time, 0)),
+            d_count=put(np.int32(len(idx.d_hash))),
+            track_valid=put(idx.track_valid),
+            version=idx.version,
+        )
+
+
+def _probe_votes(q_hash, q_time, q_valid, di: DeviceIndex):
+    """Gather candidate votes -> (v_track, v_bin, v_dt) with sentinel-masked
+    invalid entries; static size H * (PROBE_FANOUT_MAIN + PROBE_FANOUT_DELTA)."""
+    h = q_hash.astype(jnp.int32)
+    qt = q_time.astype(jnp.int32)
+    max_tracks = di.track_valid.shape[0]
+
+    def make_votes(rtrk, rt, ok):
+        dt = rt - qt[:, None]
+        b = jnp.floor_divide(dt, spec.OFFSET_BIN_FRAMES) + spec.OFFSET_BIN_NEG
+        ok = (
+            ok
+            & (b >= 0)
+            & (b < spec.MAX_OFFSET_BINS)
+            & di.track_valid[jnp.clip(rtrk, 0, max_tracks - 1)]
+        )
+        vt = jnp.where(ok, rtrk, TRACK_SENTINEL)
+        return vt, jnp.where(ok, b, 0), jnp.where(ok, dt, 0)
+
+    # main CSR probe
+    start = di.offsets[h]
+    end = di.offsets[h + 1]
+    pos = start[:, None] + jnp.arange(spec.PROBE_FANOUT_MAIN, dtype=jnp.int32)[None, :]
+    ok_m = q_valid[:, None] & (pos < end[:, None])
+    pos_c = jnp.clip(pos, 0, di.tracks.shape[0] - 1)
+    vt_m, vb_m, vd_m = make_votes(di.tracks[pos_c], di.times[pos_c], ok_m)
+
+    # delta probe (binary search into sorted delta hashes)
+    start_d = jnp.searchsorted(di.d_hash, h, side="left").astype(jnp.int32)
+    pos_d = start_d[:, None] + jnp.arange(spec.PROBE_FANOUT_DELTA, dtype=jnp.int32)[None, :]
+    inb = pos_d < di.d_count
+    pos_dc = jnp.clip(pos_d, 0, di.d_hash.shape[0] - 1)
+    ok_d = q_valid[:, None] & inb & (di.d_hash[pos_dc] == h[:, None])
+    vt_d, vb_d, vd_d = make_votes(di.d_track[pos_dc], di.d_time[pos_dc], ok_d)
+
+    v_track = jnp.concatenate([vt_m.reshape(-1), vt_d.reshape(-1)])
+    v_bin = jnp.concatenate([vb_m.reshape(-1), vb_d.reshape(-1)])
+    v_dt = jnp.concatenate([vd_m.reshape(-1), vd_d.reshape(-1)])
+    return v_track, v_bin, v_dt
+
+
+def match_device_fn(q_hash, q_time, q_valid, di: DeviceIndex):
+    """(track[NC], aligned[NC], offset_sec[NC]) — see frozen semantics."""
+    nc = spec.CANDIDATE_TRACKS
+    nw = 2 * nc
+
+    v_track, v_bin, v_dt = _probe_votes(q_hash, q_time, q_valid, di)
+    v = v_track.shape[0]
+
+    # sort votes by (track, bin); invalid (TRACK_SENTINEL) go last
+    trk, bn, dt = jax.lax.sort((v_track, v_bin, v_dt), num_keys=2)
+    valid_v = trk != TRACK_SENTINEL
+
+    idx = jnp.arange(v, dtype=jnp.int32)
+    prev_trk = jnp.concatenate([jnp.full(1, -1, jnp.int32), trk[:-1]])
+    prev_bin = jnp.concatenate([jnp.full(1, -1, jnp.int32), bn[:-1]])
+    st = (trk != prev_trk) | (bn != prev_bin)
+
+    start_pos = jax.lax.cummax(jnp.where(st, idx, -1))
+    nxt_src = jnp.concatenate([jnp.where(st, idx, v)[1:], jnp.full(1, v, jnp.int32)])
+    nxt = jax.lax.cummin(nxt_src, reverse=True)
+    run_len = nxt - start_pos  # defined at every position of the run
+
+    # int32 prefix sums: wraparound-exact run sums (f32 cumsum would lose
+    # whole frames of offset precision at this length)
+    pre = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(dt)])
+    run_dt = pre[nxt] - pre[start_pos]
+
+    nxt_c = jnp.clip(nxt, 0, v - 1)
+    cont = (nxt < v) & (trk[nxt_c] == trk) & (bn[nxt_c] == bn + 1)
+    len2 = jnp.where(cont, run_len[nxt_c], 0)
+    dt2 = jnp.where(cont, run_dt[nxt_c], 0)
+
+    win = jnp.where(st & valid_v, run_len + len2, 0)
+    dt_tot = run_dt + dt2
+
+    # top 2*NC windows by (score desc, (track,bin) asc — tie by index)
+    top_win, top_idx = jax.lax.top_k(win, nw)
+    top_trk = trk[top_idx]
+    top_off = (
+        dt_tot[top_idx].astype(jnp.float32)
+        / jnp.maximum(top_win, 1).astype(jnp.float32)
+        / jnp.float32(spec.FRAMES_PER_SEC)
+    )
+
+    # dedup per track, keep first occurrence (= best window), first NC rows
+    eq = top_trk[:, None] == top_trk[None, :]
+    dup = jnp.tril(eq, -1).any(axis=1)
+    keep = (~dup) & (top_win > 0)
+    top_win = jnp.where(keep, top_win, 0)  # dropped dups must not pass `good`
+    slot_key = jnp.where(keep, jnp.arange(nw, dtype=jnp.int32), jnp.int32(1 << 30))
+    _, o_trk, o_win, o_off = jax.lax.sort(
+        (slot_key, top_trk, top_win, top_off), num_keys=1
+    )
+    o_trk, o_win, o_off = o_trk[:nc], o_win[:nc], o_off[:nc]
+    good = o_win > 0
+    return (
+        jnp.where(good, o_trk, -1),
+        jnp.where(good, o_win, 0),
+        jnp.where(good, o_off, 0.0),
+    )
+
+
+@jax.jit
+def match_device(q_hash, q_time, q_valid, di: DeviceIndex):
+    return match_device_fn(q_hash, q_time, q_valid, di)
+
+
+jax.tree_util.register_dataclass(
+    DeviceIndex,
+    data_fields=[
+        "offsets", "tracks", "times", "n_main",
+        "d_hash", "d_track", "d_time", "d_count", "track_valid",
+    ],
+    meta_fields=["version"],
+)
