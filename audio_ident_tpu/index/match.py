@@ -70,12 +70,35 @@ class DeviceIndex:
         )
 
 
-def _probe_votes(q_hash, q_time, q_valid, di: DeviceIndex):
+def probe_votes_arrays(
+    q_hash,
+    q_time,
+    q_valid,
+    offsets,
+    tracks,
+    times,
+    d_hash,
+    d_track,
+    d_time,
+    d_count,
+    track_valid,
+    hash_base=0,
+):
     """Gather candidate votes -> (v_track, v_bin, v_dt) with sentinel-masked
-    invalid entries; static size H * (PROBE_FANOUT_MAIN + PROBE_FANOUT_DELTA)."""
+    invalid entries; static size H * (PROBE_FANOUT_MAIN + PROBE_FANOUT_DELTA).
+
+    ``hash_base`` supports hash-range sharding: ``offsets`` covers buckets
+    [hash_base, hash_base + len(offsets) - 1); out-of-range query hashes are
+    masked.  The delta arrays keep GLOBAL hash values (a shard's slice of the
+    sorted delta), so the binary search needs no rebasing.
+    """
     h = q_hash.astype(jnp.int32)
     qt = q_time.astype(jnp.int32)
-    max_tracks = di.track_valid.shape[0]
+    max_tracks = track_valid.shape[0]
+    n_buckets = offsets.shape[0] - 1
+    h_local = h - hash_base
+    in_range = (h_local >= 0) & (h_local < n_buckets)
+    h_local = jnp.clip(h_local, 0, n_buckets - 1)
 
     def make_votes(rtrk, rt, ok):
         dt = rt - qt[:, None]
@@ -84,26 +107,26 @@ def _probe_votes(q_hash, q_time, q_valid, di: DeviceIndex):
             ok
             & (b >= 0)
             & (b < spec.MAX_OFFSET_BINS)
-            & di.track_valid[jnp.clip(rtrk, 0, max_tracks - 1)]
+            & track_valid[jnp.clip(rtrk, 0, max_tracks - 1)]
         )
         vt = jnp.where(ok, rtrk, TRACK_SENTINEL)
         return vt, jnp.where(ok, b, 0), jnp.where(ok, dt, 0)
 
     # main CSR probe
-    start = di.offsets[h]
-    end = di.offsets[h + 1]
+    start = offsets[h_local]
+    end = offsets[h_local + 1]
     pos = start[:, None] + jnp.arange(spec.PROBE_FANOUT_MAIN, dtype=jnp.int32)[None, :]
-    ok_m = q_valid[:, None] & (pos < end[:, None])
-    pos_c = jnp.clip(pos, 0, di.tracks.shape[0] - 1)
-    vt_m, vb_m, vd_m = make_votes(di.tracks[pos_c], di.times[pos_c], ok_m)
+    ok_m = (q_valid & in_range)[:, None] & (pos < end[:, None])
+    pos_c = jnp.clip(pos, 0, tracks.shape[0] - 1)
+    vt_m, vb_m, vd_m = make_votes(tracks[pos_c], times[pos_c], ok_m)
 
     # delta probe (binary search into sorted delta hashes)
-    start_d = jnp.searchsorted(di.d_hash, h, side="left").astype(jnp.int32)
+    start_d = jnp.searchsorted(d_hash, h, side="left").astype(jnp.int32)
     pos_d = start_d[:, None] + jnp.arange(spec.PROBE_FANOUT_DELTA, dtype=jnp.int32)[None, :]
-    inb = pos_d < di.d_count
-    pos_dc = jnp.clip(pos_d, 0, di.d_hash.shape[0] - 1)
-    ok_d = q_valid[:, None] & inb & (di.d_hash[pos_dc] == h[:, None])
-    vt_d, vb_d, vd_d = make_votes(di.d_track[pos_dc], di.d_time[pos_dc], ok_d)
+    inb = pos_d < d_count
+    pos_dc = jnp.clip(pos_d, 0, d_hash.shape[0] - 1)
+    ok_d = q_valid[:, None] & inb & (d_hash[pos_dc] == h[:, None])
+    vt_d, vb_d, vd_d = make_votes(d_track[pos_dc], d_time[pos_dc], ok_d)
 
     v_track = jnp.concatenate([vt_m.reshape(-1), vt_d.reshape(-1)])
     v_bin = jnp.concatenate([vb_m.reshape(-1), vb_d.reshape(-1)])
@@ -111,12 +134,28 @@ def _probe_votes(q_hash, q_time, q_valid, di: DeviceIndex):
     return v_track, v_bin, v_dt
 
 
+def _probe_votes(q_hash, q_time, q_valid, di: DeviceIndex):
+    return probe_votes_arrays(
+        q_hash, q_time, q_valid,
+        di.offsets, di.tracks, di.times,
+        di.d_hash, di.d_track, di.d_time, di.d_count, di.track_valid,
+    )
+
+
 def match_device_fn(q_hash, q_time, q_valid, di: DeviceIndex):
     """(track[NC], aligned[NC], offset_sec[NC]) — see frozen semantics."""
+    v_track, v_bin, v_dt = _probe_votes(q_hash, q_time, q_valid, di)
+    return votes_to_result(v_track, v_bin, v_dt)
+
+
+def votes_to_result(v_track, v_bin, v_dt):
+    """Sentinel-masked votes -> (track[NC], aligned[NC], offset_sec[NC]).
+
+    Shared by the single-chip matcher and the sharded path (which
+    all_gathers per-shard votes and runs this replicated).
+    """
     nc = spec.CANDIDATE_TRACKS
     nw = 2 * nc
-
-    v_track, v_bin, v_dt = _probe_votes(q_hash, q_time, q_valid, di)
     v = v_track.shape[0]
 
     # sort votes by (track, bin); invalid (TRACK_SENTINEL) go last

@@ -1,0 +1,202 @@
+"""Exact identification lane: fingerprint query + consensus scoring.
+
+Mirrors the reference exact lane's scoring semantics (reference:
+audio-ident-service/app/search/exact.py:33-121):
+
+- clips <= SHORT_CLIP_THRESHOLD_SEC are queried as 3 overlapping
+  sub-windows (0-3.5 / 0.75-4.25 / 1.5-5.0 s) with consensus scoring:
+  tracks hit by >= 2 windows keep the summed aligned hashes, tracks hit by
+  a single window are penalized to ``max(total // 2, 1)``
+  (reference: exact.py:220-296);
+- longer clips are queried whole (reference: exact.py:176-191);
+- candidates below MIN_ALIGNED_HASHES are dropped, confidence is
+  ``min(aligned / STRONG_MATCH_HASHES, 1.0)`` (reference: exact.py:109-121,
+  341-356), sorted desc, limited to ``max_results``.
+
+TPU-first differences from the reference (frozen here, not a port):
+
+- the 3 sub-windows are ONE batched device program (fingerprint_batch +
+  vmapped matcher) instead of 3 sequential olaf_c subprocess runs
+  (reference hot loop: exact.py:132-173);
+- query shapes are padded to static duration buckets
+  (spec.QUERY_BUCKETS_SEC) so XLA compiles one program per bucket;
+- a sub-window "hit" is a candidate with aligned >= WINDOW_MIN_HASHES
+  (olaf_c applied an internal floor before returning matches; ours is
+  explicit in the spec);
+- per-window offsets are reconciled by subtracting the window start before
+  taking the median, so the reported offset is the clip-start position in
+  the reference track regardless of which windows hit (improves on the
+  reference, which medians raw window offsets: exact.py:263-271).
+"""
+
+from __future__ import annotations
+
+import functools
+import statistics
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from audio_ident_tpu import spec
+from audio_ident_tpu.index.match import DeviceIndex, match_device_fn
+from audio_ident_tpu.ops.fingerprint import fingerprint_jax
+
+
+@dataclass
+class ExactCandidate:
+    """A scored exact-lane candidate (internal track row, pre-metadata)."""
+
+    track_row: int
+    aligned_hashes: int
+    confidence: float
+    offset_seconds: float
+
+
+def query_bucket_samples(duration_sec: float) -> int:
+    """Smallest static query bucket holding ``duration_sec`` (clamped)."""
+    for b in spec.QUERY_BUCKETS_SEC:
+        if duration_sec <= b:
+            return b * spec.SAMPLE_RATE
+    return spec.QUERY_BUCKETS_SEC[-1] * spec.SAMPLE_RATE
+
+
+@functools.partial(jax.jit, static_argnames=("budget",))
+def _fingerprint_and_match(pcm_batch, budget: int, di: DeviceIndex):
+    """[B, S] padded 16 kHz PCM -> per-window (track, aligned, offset)."""
+
+    def one(x):
+        h, t, v = fingerprint_jax(x, budget)
+        return match_device_fn(h.astype(np.int32), t, v, di)
+
+    return jax.vmap(one, in_axes=0)(pcm_batch)
+
+
+class ExactLane:
+    """Host-side driver for the exact lane over a device-resident index."""
+
+    def __init__(self, device_index: DeviceIndex):
+        self.device_index = device_index
+
+    # -- device dispatch ------------------------------------------------------
+
+    def _match_windows(self, windows: np.ndarray) -> list[tuple[np.ndarray, ...]]:
+        """Run fingerprint+match for a [B, S] batch of padded windows."""
+        budget = spec.max_peaks(windows.shape[1])
+        trk, ali, off = _fingerprint_and_match(windows, budget, self.device_index)
+        trk, ali, off = np.asarray(trk), np.asarray(ali), np.asarray(off)
+        return [(trk[i], ali[i], off[i]) for i in range(windows.shape[0])]
+
+    # -- public API -----------------------------------------------------------
+
+    def search(self, pcm_16k: np.ndarray, max_results: int = 10) -> list[ExactCandidate]:
+        """Identify a 16 kHz mono f32 clip against the index."""
+        if pcm_16k.size < spec.N_FFT:
+            return []
+        duration = pcm_16k.size / spec.SAMPLE_RATE
+
+        if duration <= spec.SHORT_CLIP_THRESHOLD_SEC:
+            candidates = self._search_subwindows(pcm_16k, duration)
+        else:
+            candidates = self._search_full(pcm_16k, duration)
+
+        kept = [c for c in candidates if c.aligned_hashes >= spec.MIN_ALIGNED_HASHES]
+        for c in kept:
+            c.confidence = normalize_confidence(c.aligned_hashes)
+        kept.sort(key=lambda c: (-c.confidence, -c.aligned_hashes, c.track_row))
+        return kept[:max_results]
+
+    # -- strategies -----------------------------------------------------------
+
+    def _search_full(self, pcm: np.ndarray, duration: float) -> list[ExactCandidate]:
+        n = query_bucket_samples(duration)
+        padded = np.zeros(n, dtype=np.float32)
+        m = min(pcm.size, n)
+        padded[:m] = pcm[:m]
+        (result,) = self._match_windows(padded[None, :])
+        return _window_result_to_candidates(result)
+
+    def _search_subwindows(self, pcm: np.ndarray, duration: float) -> list[ExactCandidate]:
+        n = spec.SUB_WINDOW_BUCKET_SEC * spec.SAMPLE_RATE
+        starts: list[float] = []
+        batch = []
+        for start_sec, stop_sec in spec.SUB_WINDOWS:
+            stop = min(stop_sec, duration)
+            if start_sec >= stop:
+                continue
+            a = int(start_sec * spec.SAMPLE_RATE)
+            b = int(stop * spec.SAMPLE_RATE)
+            w = np.zeros(n, dtype=np.float32)
+            w[: b - a] = pcm[a:b]
+            starts.append(start_sec)
+            batch.append(w)
+        if not batch:
+            return []
+        results = self._match_windows(np.stack(batch))
+        return consensus_score(results, starts)
+
+
+# ---------------------------------------------------------------------------
+# Pure scoring functions (host-side, unit-testable without a device)
+# ---------------------------------------------------------------------------
+
+
+def _window_result_to_candidates(result: tuple[np.ndarray, ...]) -> list[ExactCandidate]:
+    trk, ali, off = result
+    out = []
+    for i in range(len(trk)):
+        if trk[i] < 0 or ali[i] <= 0:
+            continue
+        out.append(
+            ExactCandidate(
+                track_row=int(trk[i]),
+                aligned_hashes=int(ali[i]),
+                confidence=0.0,
+                offset_seconds=float(off[i]),
+            )
+        )
+    return out
+
+
+def consensus_score(
+    window_results: list[tuple[np.ndarray, ...]],
+    window_starts: list[float],
+) -> list[ExactCandidate]:
+    """Consensus across sub-window match results (frozen semantics above).
+
+    ``window_results`` are (track, aligned, offset) arrays per window;
+    ``window_starts`` the window start times (seconds) for offset
+    reconciliation.
+    """
+    per_track: dict[int, list[tuple[int, int, float]]] = {}
+    for w, ((trk, ali, off)) in enumerate(window_results):
+        for i in range(len(trk)):
+            if trk[i] < 0 or ali[i] < spec.WINDOW_MIN_HASHES:
+                continue
+            per_track.setdefault(int(trk[i]), []).append(
+                (w, int(ali[i]), float(off[i]) - window_starts[w])
+            )
+
+    candidates: list[ExactCandidate] = []
+    for row, hits in per_track.items():
+        windows = {h[0] for h in hits}
+        total = sum(h[1] for h in hits)
+        offset = statistics.median(h[2] for h in hits)
+        if len(windows) < 2:
+            total = max(total // 2, 1)
+        candidates.append(
+            ExactCandidate(
+                track_row=row,
+                aligned_hashes=total,
+                confidence=0.0,
+                offset_seconds=offset,
+            )
+        )
+    return candidates
+
+
+def normalize_confidence(aligned_hashes: int) -> float:
+    """min(aligned / STRONG_MATCH_HASHES, 1.0) (reference: exact.py:341-356)."""
+    if aligned_hashes <= 0:
+        return 0.0
+    return min(aligned_hashes / spec.STRONG_MATCH_HASHES, 1.0)

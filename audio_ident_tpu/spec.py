@@ -81,6 +81,9 @@ MIN_ALIGNED_HASHES = 8
 STRONG_MATCH_HASHES = 20
 SHORT_CLIP_THRESHOLD_SEC = 5.0
 SUB_WINDOWS = ((0.0, 3.5), (0.75, 4.25), (1.5, 5.0))
+SUB_WINDOW_BUCKET_SEC = 4      # static shape each sub-window is padded to
+WINDOW_MIN_HASHES = 3          # aligned hashes for a sub-window "hit"
+                               # (stands in for olaf_c's internal match floor)
 
 # --- Vibe lane chunking (mirrors reference CLAP chunking,
 #     reference: app/audio/embedding.py:18-23) --------------------------------

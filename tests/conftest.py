@@ -14,6 +14,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU plugin and OVERRIDES the
+# JAX_PLATFORMS env var via jax.config — re-pin it so tests really run on
+# the virtual 8-device CPU mesh (not silently on the single real chip).
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: XLA-CPU sort codegen is slow (~8 s per sort
 # op); caching makes every test run after the first fast.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
