@@ -1,0 +1,363 @@
+"""Service app factory: routes, validation, startup/shutdown.
+
+Mirrors the reference's FastAPI app + routers (reference:
+audio-ident-service/app/main.py:48-188, app/routers/*) over the local mini
+ASGI framework.  Route-by-route parity with docs/api-contract.md v1.2.0:
+/health, /api/v1/version, /api/v1/search, /api/v1/ingest, /api/v1/tracks,
+/api/v1/tracks/{id}, /api/v1/tracks/{id}/audio.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import subprocess
+import uuid as uuidlib
+from pathlib import Path
+
+from audio_ident_tpu.service import audio as audio_io
+from audio_ident_tpu.service import ingest as ingest_mod
+from audio_ident_tpu.service.auth import require_admin_key
+from audio_ident_tpu.service.catalog import Catalog, TrackRow
+from audio_ident_tpu.service.http import (
+    App,
+    FileResponse,
+    HttpError,
+    JSONResponse,
+    Request,
+)
+from audio_ident_tpu.service.orchestrator import (
+    SearchTimeoutError,
+    SearchUnavailableError,
+    orchestrate_search,
+)
+from audio_ident_tpu.service.schemas import (
+    ExactMatch,
+    HealthResponse,
+    IngestError,
+    IngestReport,
+    IngestResponse,
+    IngestStatus,
+    PaginatedResponse,
+    PaginationMeta,
+    SearchMode,
+    TrackDetail,
+    TrackInfo,
+    VersionResponse,
+)
+from audio_ident_tpu.service.settings import Settings, load_settings
+from audio_ident_tpu.service.state import EngineState, resample_to_16k
+
+logger = logging.getLogger(__name__)
+
+SEARCH_MIN_DURATION_SEC = 3.0
+
+
+def _track_info(row: TrackRow) -> TrackInfo:
+    return TrackInfo(
+        id=row.id,
+        title=row.title,
+        artist=row.artist,
+        album=row.album,
+        duration_seconds=row.duration_seconds,
+        ingested_at=row.ingested_at,
+    )
+
+
+def _git_sha() -> str | None:
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, timeout=2, text=True,
+        )
+        return out.stdout.strip() or None
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def create_app(
+    settings: Settings | None = None,
+    *,
+    catalog: Catalog | None = None,
+    engine: EngineState | None = None,
+) -> App:
+    settings = settings or load_settings()
+    app = App(cors_origins=settings.cors_origins)
+    catalog = catalog or Catalog(settings.catalog_file)
+    engine = engine or EngineState(
+        max_tracks=settings.max_tracks,
+        index_dir=settings.index_dir,
+        compile_cache_dir=settings.storage_root / ".jax_cache",
+    )
+    audio_io.ensure_storage_dirs(settings.storage_root)
+    app.state.update(settings=settings, catalog=catalog, engine=engine)
+    ingest_lock = asyncio.Lock()
+
+    async def _startup() -> None:
+        try:
+            await engine.warmup()
+        except Exception:  # noqa: BLE001 — warm-up failure must not kill boot
+            logger.exception("engine warm-up failed")
+
+    async def _shutdown() -> None:
+        await engine.snapshot()
+        await engine.close()
+        catalog.close()
+
+    app.on_startup.append(_startup)
+    app.on_shutdown.append(_shutdown)
+
+    # -- health / version (reference: app/routers/health.py, version.py) -------
+
+    @app.get("/health")
+    async def health(_request: Request):
+        return JSONResponse(
+            HealthResponse(status="ok", version=settings.service_version)
+        )
+
+    @app.get("/api/v1/version")
+    async def version(_request: Request):
+        return JSONResponse(
+            VersionResponse(
+                name=settings.service_name,
+                version=settings.service_version,
+                git_sha=_git_sha(),
+                build_time=None,
+            )
+        )
+
+    # -- search (reference: app/routers/search.py:28-212) ----------------------
+
+    @app.post("/api/v1/search")
+    async def search(request: Request):
+        form = request.form()
+        part = form.file("audio")
+        if part is None:
+            raise HttpError(400, "VALIDATION_ERROR", "missing 'audio' file field")
+        if len(part.data) > settings.max_search_upload_bytes:
+            raise HttpError(
+                400, "FILE_TOO_LARGE",
+                f"File exceeds {settings.max_search_upload_bytes // (1024*1024)} MB limit",
+            )
+        sniffed = audio_io.sniff_format(part.data)
+        if sniffed is None:
+            raise HttpError(
+                400, "UNSUPPORTED_FORMAT",
+                "Audio format not recognized. Supported: MP3, WAV, FLAC, OGG, WebM, MP4.",
+            )
+        fmt, _ = sniffed
+
+        mode_raw = form.value("mode") or "both"
+        try:
+            mode = SearchMode(mode_raw)
+        except ValueError:
+            raise HttpError(400, "VALIDATION_ERROR", f"invalid mode {mode_raw!r}") from None
+        max_results_raw = form.value("max_results") or "10"
+        try:
+            max_results = max(1, min(int(max_results_raw), 50))
+        except ValueError:
+            raise HttpError(400, "VALIDATION_ERROR", "max_results must be an integer") from None
+
+        try:
+            decoded = await audio_io.decode_audio(part.data, fmt)
+        except audio_io.DecodeError as e:
+            raise HttpError(400, "UNSUPPORTED_FORMAT", f"Failed to decode audio: {e}") from e
+        if decoded.duration_seconds < SEARCH_MIN_DURATION_SEC:
+            raise HttpError(
+                400, "AUDIO_TOO_SHORT",
+                f"Audio clip is {decoded.duration_seconds:.1f}s; minimum is 3s",
+            )
+
+        vibe_lane_obj = app.state.get("vibe_lane")
+        if mode is SearchMode.BOTH and vibe_lane_obj is None:
+            mode = SearchMode.EXACT  # degrade (reference: search.py:184-186)
+
+        pcm_16k = await asyncio.to_thread(
+            resample_to_16k, decoded.pcm, decoded.sample_rate
+        )
+
+        async def exact_lane() -> list[ExactMatch]:
+            candidates = await engine.exact_search(pcm_16k, max_results)
+            rows = {}
+            ids = []
+            for c in candidates:
+                tid = engine.fp_index.uuid_of(c.track_row)
+                if tid is not None:
+                    ids.append(tid)
+                    rows[c.track_row] = tid
+            meta = await catalog.a_get_tracks(ids)
+            out = []
+            for c in candidates:
+                tid = rows.get(c.track_row)
+                if tid is None or tid not in meta:
+                    continue
+                out.append(
+                    ExactMatch(
+                        track=_track_info(meta[tid]),
+                        confidence=c.confidence,
+                        offset_seconds=round(c.offset_seconds, 3),
+                        aligned_hashes=c.aligned_hashes,
+                    )
+                )
+            return out
+
+        vibe_lane = None
+        if vibe_lane_obj is not None and mode in (SearchMode.VIBE, SearchMode.BOTH):
+            async def vibe_lane():
+                return await vibe_lane_obj.search(decoded, max_results)
+
+        try:
+            response = await orchestrate_search(
+                mode,
+                exact_lane if mode in (SearchMode.EXACT, SearchMode.BOTH) else None,
+                vibe_lane,
+                exact_timeout=settings.exact_timeout_sec,
+                vibe_timeout=settings.vibe_timeout_sec,
+            )
+        except SearchTimeoutError as e:
+            raise HttpError(504, "SEARCH_TIMEOUT", str(e)) from e
+        except SearchUnavailableError as e:
+            raise HttpError(503, "SERVICE_UNAVAILABLE", str(e)) from e
+        return JSONResponse(response)
+
+    # -- ingest (reference: app/routers/ingest.py:35-214) ----------------------
+
+    @app.post("/api/v1/ingest")
+    async def ingest(request: Request):
+        require_admin_key(request, settings.admin_api_key)
+        form = request.form()
+        part = form.file("audio")
+        directory = form.value("directory")
+        if (part is None) == (directory is None):
+            raise HttpError(
+                400, "VALIDATION_ERROR",
+                "Exactly one of 'audio' or 'directory' must be provided",
+            )
+
+        # TOCTOU-safe: check + acquire with no await between
+        # (reference: routers/ingest.py:149-161)
+        if ingest_lock.locked():
+            raise HttpError(
+                429, "RATE_LIMITED",
+                "Another ingestion is in progress. Please try again in a moment.",
+            )
+        async with ingest_lock:
+            if directory is not None:
+                dpath = Path(directory)
+                if not dpath.is_dir():
+                    raise HttpError(
+                        400, "DIRECTORY_NOT_FOUND", f"No such directory: {directory}"
+                    )
+                report = await ingest_mod.ingest_directory(
+                    dpath, settings=settings, catalog=catalog, engine=engine
+                )
+                return JSONResponse(
+                    IngestReport(
+                        total=report.total,
+                        ingested=report.ingested,
+                        duplicates=report.duplicates,
+                        errors=[IngestError(file=f, error=e) for f, e in report.errors],
+                    )
+                )
+
+            if len(part.data) > settings.max_ingest_upload_bytes:
+                raise HttpError(
+                    400, "FILE_TOO_LARGE",
+                    f"File exceeds {settings.max_ingest_upload_bytes // (1024*1024)} MB limit",
+                )
+            outcome = await ingest_mod.ingest_bytes(
+                part.data, part.filename or "upload",
+                settings=settings, catalog=catalog, engine=engine,
+            )
+
+        if outcome.status == "error":
+            status = 503 if outcome.error_code == "SERVICE_UNAVAILABLE" else 400
+            raise HttpError(
+                status, outcome.error_code or "INTERNAL_ERROR",
+                outcome.error_message or "Unknown error",
+            )
+        assert outcome.track is not None
+        return JSONResponse(
+            IngestResponse(
+                track_id=outcome.track.id,
+                title=outcome.track.title,
+                artist=outcome.track.artist,
+                status=IngestStatus(outcome.status),
+            ),
+            status=201 if outcome.status == "ingested" else 200,
+        )
+
+    # -- tracks (reference: app/routers/tracks.py:63-266) ----------------------
+
+    @app.get("/api/v1/tracks")
+    async def list_tracks(request: Request):
+        try:
+            page = int(request.query.get("page", "1"))
+            page_size = int(request.query.get("pageSize", "50"))
+        except ValueError:
+            raise HttpError(400, "VALIDATION_ERROR", "page/pageSize must be integers") from None
+        search_q = request.query.get("search") or None
+        page = max(page, 1)
+        page_size = min(max(page_size, 1), 100)
+        rows, total = await catalog.a_list_tracks(page, page_size, search_q)
+        total_pages = max((total + page_size - 1) // page_size, 1)
+        return JSONResponse(
+            PaginatedResponse[TrackInfo](
+                data=[_track_info(r) for r in rows],
+                pagination=PaginationMeta(
+                    page=page, pageSize=page_size,
+                    totalItems=total, totalPages=total_pages,
+                ),
+            )
+        )
+
+    def _parse_track_id(raw: str) -> str:
+        try:
+            return str(uuidlib.UUID(raw))
+        except ValueError:
+            raise HttpError(400, "VALIDATION_ERROR", f"invalid UUID: {raw}") from None
+
+    @app.get("/api/v1/tracks/{track_id}")
+    async def track_detail(request: Request):
+        tid = _parse_track_id(request.path_params["track_id"])
+        row = await catalog.a_get_track(tid)
+        if row is None:
+            raise HttpError(404, "NOT_FOUND", f"track {tid} not found")
+        return JSONResponse(
+            TrackDetail(
+                **_track_info(row).model_dump(),
+                sample_rate=row.sample_rate,
+                channels=row.channels,
+                bitrate=row.bitrate,
+                format=row.format,
+                file_hash_sha256=row.file_hash_sha256,
+                file_size_bytes=row.file_size_bytes,
+                olaf_indexed=row.fp_indexed,
+                embedding_model=row.embedding_model,
+                embedding_dim=row.embedding_dim,
+                updated_at=row.updated_at,
+            )
+        )
+
+    @app.get("/api/v1/tracks/{track_id}/audio")
+    async def track_audio(request: Request):
+        tid = _parse_track_id(request.path_params["track_id"])
+        row = await catalog.a_get_track(tid)
+        if row is None:
+            raise HttpError(404, "NOT_FOUND", f"track {tid} not found")
+        fmt = row.format or Path(row.file_path).suffix.lstrip(".") or "bin"
+        # Reconstruct from hash, never trust the stored path blindly
+        # (reference traversal guard: app/routers/tracks.py:227-244)
+        path = audio_io.raw_audio_path(settings.storage_root, row.file_hash_sha256, fmt)
+        resolved = path.resolve()
+        root = settings.storage_root.resolve()
+        if not str(resolved).startswith(str(root)):
+            raise HttpError(404, "FILE_NOT_FOUND", "audio file path is invalid")
+        if not resolved.is_file():
+            raise HttpError(404, "FILE_NOT_FOUND", "audio file missing from storage")
+        media = audio_io.MIME_BY_FORMAT.get(fmt, "application/octet-stream")
+        return FileResponse(
+            str(resolved), media, range_header=request.headers.get("range")
+        )
+
+    return app

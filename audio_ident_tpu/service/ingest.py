@@ -1,0 +1,180 @@
+"""Ingestion pipeline: dedup -> decode -> store -> fingerprint -> catalog.
+
+Mirrors the reference's 7-step per-file pipeline and sequential batch
+driver (reference: audio-ident-service/app/ingest/pipeline.py:70-321):
+
+1. SHA-256 + exact file-dup check (catalog unique column)
+2. metadata extraction (host)
+3. decode + duration bounds (3 s - 30 min)
+4. content-addressed blob save
+5. content-level near-dup check (chroma fingerprint; phase 2)
+6. fingerprint -> device index (and chunk embeddings when the vibe lane
+   is enabled) — one fused device batch instead of the reference's
+   subprocess + sequential per-chunk CLAP loop (pipeline.py:197)
+7. catalog insert
+
+Batch ingestion is sequential per file (single-writer regime, reference:
+pipeline.py:294-300).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import uuid as uuidlib
+from dataclasses import dataclass
+from pathlib import Path
+
+from audio_ident_tpu.service import audio as audio_io
+from audio_ident_tpu.service.catalog import Catalog, TrackRow
+from audio_ident_tpu.service.settings import Settings
+from audio_ident_tpu.service.state import EngineState, resample_to_16k
+
+logger = logging.getLogger(__name__)
+
+AUDIO_EXTENSIONS = {".mp3", ".wav", ".flac", ".ogg", ".m4a", ".webm"}
+
+
+@dataclass
+class IngestOutcome:
+    status: str  # "ingested" | "duplicate" | "error"
+    track: TrackRow | None = None
+    error_code: str | None = None
+    error_message: str | None = None
+
+
+@dataclass
+class BatchReport:
+    total: int = 0
+    ingested: int = 0
+    duplicates: int = 0
+    errors: list[tuple[str, str]] = None  # (file, message)
+
+    def __post_init__(self):
+        if self.errors is None:
+            self.errors = []
+
+
+async def ingest_bytes(
+    data: bytes,
+    filename: str,
+    *,
+    settings: Settings,
+    catalog: Catalog,
+    engine: EngineState,
+) -> IngestOutcome:
+    """Ingest one in-memory audio file (steps 1-7 above)."""
+    # 1. exact file dedup
+    sha256 = await asyncio.to_thread(audio_io.compute_sha256, data)
+    existing = await catalog.a_find_by_hash(sha256)
+    if existing is not None:
+        return IngestOutcome(status="duplicate", track=existing)
+
+    # 2. sniff + metadata
+    sniffed = audio_io.sniff_format(data)
+    if sniffed is None:
+        return IngestOutcome(
+            status="error", error_code="UNSUPPORTED_FORMAT",
+            error_message="Audio format not recognized",
+        )
+    fmt, _mime = sniffed
+    title = Path(filename).stem or sha256[:12]
+
+    # 3. decode + duration bounds
+    try:
+        decoded = await audio_io.decode_audio(data, fmt)
+    except audio_io.DecodeError as e:
+        return IngestOutcome(
+            status="error", error_code="UNSUPPORTED_FORMAT",
+            error_message=f"Failed to decode audio: {e}",
+        )
+    if decoded.duration_seconds < settings.min_duration_sec:
+        return IngestOutcome(
+            status="error", error_code="AUDIO_TOO_SHORT",
+            error_message=(
+                f"Audio too short: {decoded.duration_seconds:.1f}s "
+                f"(minimum {settings.min_duration_sec:.0f}s)"
+            ),
+        )
+    if decoded.duration_seconds > settings.max_duration_sec:
+        return IngestOutcome(
+            status="error", error_code="AUDIO_TOO_LONG",
+            error_message=(
+                f"Audio too long: {decoded.duration_seconds:.0f}s "
+                f"(maximum {settings.max_duration_sec:.0f}s)"
+            ),
+        )
+
+    # 4. blob save (content-addressed; source of truth for rebuild-index)
+    blob_path = audio_io.raw_audio_path(settings.storage_root, sha256, fmt)
+    await asyncio.to_thread(_write_blob, blob_path, data)
+
+    # 5. content near-dup (chroma) — phase 2, wired when dedup lands
+    # 6. fingerprint + index on device
+    track_id = str(uuidlib.uuid4())
+    pcm_16k = await asyncio.to_thread(resample_to_16k, decoded.pcm, decoded.sample_rate)
+    try:
+        n_hashes = await engine.fingerprint_and_index(track_id, pcm_16k)
+    except Exception as e:  # noqa: BLE001 — map engine failure to pipeline error
+        logger.exception("fingerprint indexing failed for %s", filename)
+        return IngestOutcome(
+            status="error", error_code="SERVICE_UNAVAILABLE",
+            error_message=f"Fingerprint indexing failed: {e}",
+        )
+
+    # 7. catalog insert
+    track = await catalog.a_insert_track(
+        id=track_id,
+        title=title,
+        artist=None,
+        album=None,
+        duration_seconds=decoded.duration_seconds,
+        sample_rate=decoded.sample_rate,
+        channels=decoded.channels,
+        bitrate=None,
+        format=fmt,
+        file_hash_sha256=sha256,
+        file_size_bytes=len(data),
+        file_path=str(blob_path),
+        fp_indexed=1,
+    )
+    logger.info("ingested %s as %s (%d hashes)", filename, track_id, n_hashes)
+    return IngestOutcome(status="ingested", track=track)
+
+
+def _write_blob(path: Path, data: bytes) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(data)
+
+
+async def ingest_directory(
+    directory: str | Path,
+    *,
+    settings: Settings,
+    catalog: Catalog,
+    engine: EngineState,
+) -> BatchReport:
+    """Sequential batch ingestion of a server-side directory."""
+    root = Path(directory)
+    files = sorted(
+        p for p in root.rglob("*") if p.suffix.lower() in AUDIO_EXTENSIONS
+    )
+    report = BatchReport(total=len(files))
+    for p in files:
+        try:
+            data = await asyncio.to_thread(p.read_bytes)
+            outcome = await ingest_bytes(
+                data, p.name, settings=settings, catalog=catalog, engine=engine
+            )
+        except Exception as e:  # noqa: BLE001 — batch isolates per-file failures
+            logger.exception("ingest failed for %s", p)
+            report.errors.append((str(p), str(e)))
+            continue
+        if outcome.status == "ingested":
+            report.ingested += 1
+        elif outcome.status == "duplicate":
+            report.duplicates += 1
+        else:
+            report.errors.append((str(p), outcome.error_message or "unknown error"))
+    await engine.snapshot()
+    return report

@@ -1,0 +1,97 @@
+"""Service settings from environment / .env (pydantic model, stdlib loader).
+
+Mirrors reference: audio-ident-service/app/settings.py:4-58 (pydantic-
+settings isn't in this environment, so a small .env loader feeds a plain
+pydantic model).  Adds the TPU-specific knobs the reference never needed:
+mesh shape and index capacity.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pydantic import BaseModel
+
+
+def _load_env_file(path: str | Path) -> dict[str, str]:
+    out: dict[str, str] = {}
+    p = Path(path)
+    if not p.is_file():
+        return out
+    for line in p.read_text().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        k, _, v = line.partition("=")
+        out[k.strip()] = v.strip().strip('"').strip("'")
+    return out
+
+
+class Settings(BaseModel):
+    # server
+    service_name: str = "audio-ident-tpu"
+    service_version: str = "0.1.0"
+    host: str = "127.0.0.1"
+    port: int = 17010
+    cors_origins: list[str] = ["http://localhost:17000"]
+
+    # storage
+    data_root: str = "./data"
+    # catalog db file lives under data_root unless overridden
+    catalog_path: str | None = None
+    index_path: str | None = None  # fingerprint index snapshot dir
+    vector_path: str | None = None  # embedding store snapshot dir
+
+    # auth (fail-closed like the reference: app/auth/admin.py:17-29)
+    admin_api_key: str | None = None
+
+    # search knobs (reference: app/settings.py:43-48)
+    embedding_model: str = "clap-htsat-large"
+    embedding_dim: int = 512
+    vibe_match_threshold: float = 0.60
+    vector_search_limit: int = 50
+    exact_timeout_sec: float = 3.0
+    vibe_timeout_sec: float = 4.0
+
+    # ingest bounds (reference: app/ingest/pipeline.py:41-42)
+    min_duration_sec: float = 3.0
+    max_duration_sec: float = 1800.0
+    max_search_upload_bytes: int = 10 * 1024 * 1024
+    max_ingest_upload_bytes: int = 50 * 1024 * 1024
+
+    # TPU
+    max_tracks: int = 1 << 20
+    mesh_shards: int = 0  # 0 = single device
+
+    @property
+    def storage_root(self) -> Path:
+        return Path(self.data_root)
+
+    @property
+    def catalog_file(self) -> Path:
+        return Path(self.catalog_path or (self.storage_root / "catalog.sqlite3"))
+
+    @property
+    def index_dir(self) -> Path:
+        return Path(self.index_path or (self.storage_root / "fp_index"))
+
+    @property
+    def vector_dir(self) -> Path:
+        return Path(self.vector_path or (self.storage_root / "vec_index"))
+
+
+def load_settings(env_file: str | Path = ".env") -> Settings:
+    """Environment variables override .env values; both override defaults."""
+    raw = _load_env_file(env_file)
+    raw.update(os.environ)
+    fields = {}
+    for name, field in Settings.model_fields.items():
+        key = name.upper()
+        if key not in raw:
+            continue
+        val: object = raw[key]
+        if name == "cors_origins":
+            val = [o.strip() for o in str(val).split(",") if o.strip()]
+        fields[name] = val
+    return Settings(**fields)

@@ -1,0 +1,155 @@
+"""Engine state: host index + device mirrors + the TPU dispatch thread.
+
+The reference delegates engine state to external processes (olaf_c's LMDB,
+Qdrant); here the engines are in-process device programs over host-owned
+arrays.  All device work funnels through ONE executor thread: the TPU
+queue replaces the reference's CLAP semaphore (reference:
+app/search/vibe.py:29-33), and the single writer thread replaces the Olaf
+single-writer rule (reference: app/audio/fingerprint.py:7-8).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+from audio_ident_tpu import spec
+from audio_ident_tpu.index.match import DeviceIndex
+from audio_ident_tpu.index.store import FingerprintIndex
+from audio_ident_tpu.search.exact import ExactCandidate, ExactLane
+
+logger = logging.getLogger(__name__)
+
+
+def resample_to_16k(pcm: np.ndarray, rate: int) -> np.ndarray:
+    """Host-side arbitrary-rate -> 16 kHz (ingest/search normalization).
+
+    The 48k->16k hot path has an on-device twin (ops/resample.py); this
+    generic rational resampler handles arbitrary container rates once per
+    file on the host.
+    """
+    if rate == spec.SAMPLE_RATE:
+        return pcm.astype(np.float32)
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(spec.SAMPLE_RATE, rate)
+    return resample_poly(pcm, spec.SAMPLE_RATE // g, rate // g).astype(np.float32)
+
+
+def ingest_bucket_samples(num_samples: int) -> int:
+    dur = num_samples / spec.SAMPLE_RATE
+    for b in spec.INGEST_BUCKETS_SEC:
+        if dur <= b:
+            return b * spec.SAMPLE_RATE
+    return spec.INGEST_BUCKETS_SEC[-1] * spec.SAMPLE_RATE
+
+
+class EngineState:
+    """Owns the fingerprint index and serializes device access."""
+
+    def __init__(
+        self,
+        max_tracks: int = 1 << 20,
+        index_dir: str | Path | None = None,
+        compile_cache_dir: str | Path | None = None,
+    ):
+        if compile_cache_dir is not None:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", str(compile_cache_dir))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        self.index_dir = Path(index_dir) if index_dir else None
+        if self.index_dir and (self.index_dir / "registry.json").exists():
+            self.fp_index = FingerprintIndex.load(self.index_dir)
+            logger.info(
+                "loaded fingerprint index: %d tracks, %d postings",
+                self.fp_index.num_tracks, self.fp_index.num_postings,
+            )
+        else:
+            self.fp_index = FingerprintIndex(max_tracks=max_tracks)
+        self._device_index: DeviceIndex | None = None
+        self._tpu = ThreadPoolExecutor(max_workers=1, thread_name_prefix="tpu")
+        self._write_lock = asyncio.Lock()
+
+    # -- device mirror ---------------------------------------------------------
+
+    def _current_device_index(self) -> DeviceIndex:
+        if (
+            self._device_index is None
+            or self._device_index.version != self.fp_index.version
+        ):
+            self._device_index = DeviceIndex.from_host(self.fp_index)
+        return self._device_index
+
+    # -- async facade (all device work hops to the TPU thread) ------------------
+
+    async def _run(self, fn, *args):
+        return await asyncio.get_running_loop().run_in_executor(self._tpu, fn, *args)
+
+    async def exact_search(
+        self, pcm_16k: np.ndarray, max_results: int = 10
+    ) -> list[ExactCandidate]:
+        def work() -> list[ExactCandidate]:
+            lane = ExactLane(self._current_device_index())
+            return lane.search(pcm_16k, max_results)
+
+        return await self._run(work)
+
+    async def fingerprint_and_index(self, track_id: str, pcm_16k: np.ndarray) -> int:
+        """Fingerprint on device and append postings (single-writer)."""
+
+        def work() -> int:
+            from audio_ident_tpu.ops.fingerprint import fingerprint_batch
+
+            n = ingest_bucket_samples(len(pcm_16k))
+            padded = np.zeros(n, dtype=np.float32)
+            m = min(len(pcm_16k), n)
+            padded[:m] = pcm_16k[:m]
+            budget = spec.max_peaks(n)
+            h, t, v = fingerprint_batch(padded[None], budget)
+            h = np.asarray(h[0]).astype(np.int64)
+            t = np.asarray(t[0])
+            v = np.asarray(v[0])
+            self.fp_index.add_track(track_id, h, t, v)
+            return int(v.sum())
+
+        async with self._write_lock:
+            return await self._run(work)
+
+    async def delete_track(self, track_id: str) -> bool:
+        async with self._write_lock:
+            return self.fp_index.delete_track(track_id)
+
+    async def warmup(self) -> None:
+        """Compile every query-bucket program before serving traffic.
+
+        Mirrors the reference's 5 s-silence CLAP warm-up
+        (app/main.py:114-122) but covers ALL static query shapes: a cold
+        compile on the first real request would blow the 3 s exact-lane
+        budget (measured: first new-shape search 504s without this).  The
+        persistent compilation cache makes warm-up fast on later boots.
+        """
+
+        def work() -> None:
+            lane = ExactLane(self._current_device_index())
+            lane.search(np.zeros(4 * spec.SAMPLE_RATE, np.float32))  # sub-window path
+            for b in spec.QUERY_BUCKETS_SEC:
+                if b <= spec.SHORT_CLIP_THRESHOLD_SEC:
+                    continue
+                lane.search(np.zeros(b * spec.SAMPLE_RATE, np.float32))
+
+        await self._run(work)
+
+    async def snapshot(self) -> None:
+        if self.index_dir:
+            async with self._write_lock:
+                await asyncio.to_thread(self.fp_index.save, self.index_dir)
+
+    async def close(self) -> None:
+        self._tpu.shutdown(wait=False)

@@ -63,3 +63,25 @@ def make_audio(rng):
         return synth_audio(r, seconds, sr)
 
     return _make
+
+
+@pytest.fixture
+def anyio_backend():
+    """Async endpoint tests run on asyncio via the anyio pytest plugin."""
+    return "asyncio"
+
+
+def wav_bytes(pcm: np.ndarray, sr: int = 16000) -> bytes:
+    """Encode mono float32 PCM as 16-bit WAV (stdlib, like the reference's
+    in-memory WAV synthesis for decode tests — SURVEY.md §4 technique 4)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        ints = np.round(np.clip(pcm * 32767.0, -32768, 32767)).astype("<i2")
+        w.writeframes(ints.tobytes())
+    return buf.getvalue()
