@@ -44,9 +44,14 @@ from audio_ident_tpu.service.schemas import (
     TrackDetail,
     TrackInfo,
     VersionResponse,
+    VibeMatch,
 )
 from audio_ident_tpu.service.settings import Settings, load_settings
-from audio_ident_tpu.service.state import EngineState, resample_to_16k
+from audio_ident_tpu.service.state import (
+    EngineState,
+    resample_to_16k,
+    resample_to_48k,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -84,11 +89,24 @@ def create_app(
     settings = settings or load_settings()
     app = App(cors_origins=settings.cors_origins)
     catalog = catalog or Catalog(settings.catalog_file)
-    engine = engine or EngineState(
-        max_tracks=settings.max_tracks,
-        index_dir=settings.index_dir,
-        compile_cache_dir=settings.storage_root / ".jax_cache",
-    )
+    if engine is None:
+        from audio_ident_tpu.service.state import load_vibe_lane
+
+        vibe_lane = None
+        try:
+            vibe_lane = load_vibe_lane(
+                settings.clap_checkpoint, random_init=settings.clap_random_init
+            )
+        except Exception:  # noqa: BLE001 — CLAP load failure degrades to
+            # exact-only, mirroring the reference (app/main.py:124-127)
+            logger.exception("CLAP load failed; vibe lane disabled")
+        engine = EngineState(
+            max_tracks=settings.max_tracks,
+            index_dir=settings.index_dir,
+            compile_cache_dir=settings.storage_root / ".jax_cache",
+            vibe_lane=vibe_lane,
+            vector_dir=settings.vector_dir,
+        )
     audio_io.ensure_storage_dirs(settings.storage_root)
     app.state.update(settings=settings, catalog=catalog, engine=engine)
     ingest_lock = asyncio.Lock()
@@ -168,8 +186,7 @@ def create_app(
                 f"Audio clip is {decoded.duration_seconds:.1f}s; minimum is 3s",
             )
 
-        vibe_lane_obj = app.state.get("vibe_lane")
-        if mode is SearchMode.BOTH and vibe_lane_obj is None:
+        if mode is SearchMode.BOTH and not engine.vibe_enabled:
             mode = SearchMode.EXACT  # degrade (reference: search.py:184-186)
 
         pcm_16k = await asyncio.to_thread(
@@ -202,9 +219,33 @@ def create_app(
             return out
 
         vibe_lane = None
-        if vibe_lane_obj is not None and mode in (SearchMode.VIBE, SearchMode.BOTH):
-            async def vibe_lane():
-                return await vibe_lane_obj.search(decoded, max_results)
+        if engine.vibe_enabled and mode in (SearchMode.VIBE, SearchMode.BOTH):
+
+            async def vibe_lane() -> list[VibeMatch]:
+                pcm_48k = await asyncio.to_thread(
+                    resample_to_48k, decoded.pcm, decoded.sample_rate
+                )
+                scores = await engine.vibe_search(pcm_48k)
+                scores = scores[:max_results]
+                ids = [
+                    tid
+                    for s in scores
+                    if (tid := engine.fp_index.uuid_of(s.track_row)) is not None
+                ]
+                meta = await catalog.a_get_tracks(ids)
+                out = []
+                for s in scores:
+                    tid = engine.fp_index.uuid_of(s.track_row)
+                    if tid is None or tid not in meta:
+                        continue
+                    out.append(
+                        VibeMatch(
+                            track=_track_info(meta[tid]),
+                            similarity=round(s.final_score, 4),
+                            embedding_model=settings.embedding_model,
+                        )
+                    )
+                return out
 
         try:
             response = await orchestrate_search(

@@ -28,7 +28,11 @@ from pathlib import Path
 from audio_ident_tpu.service import audio as audio_io
 from audio_ident_tpu.service.catalog import Catalog, TrackRow
 from audio_ident_tpu.service.settings import Settings
-from audio_ident_tpu.service.state import EngineState, resample_to_16k
+from audio_ident_tpu.service.state import (
+    EngineState,
+    resample_to_16k,
+    resample_to_48k,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -110,7 +114,11 @@ async def ingest_bytes(
     await asyncio.to_thread(_write_blob, blob_path, data)
 
     # 5. content near-dup (chroma) — phase 2, wired when dedup lands
-    # 6. fingerprint + index on device
+    # 6. fingerprint + embed on device.  The reference gathers olaf_c and
+    # the CLAP executor concurrently (pipeline.py:197); here both are jobs
+    # on the single TPU queue, so they run back to back — the win is that
+    # each is one batched device program instead of subprocess/per-chunk
+    # loops.
     track_id = str(uuidlib.uuid4())
     pcm_16k = await asyncio.to_thread(resample_to_16k, decoded.pcm, decoded.sample_rate)
     try:
@@ -121,6 +129,15 @@ async def ingest_bytes(
             status="error", error_code="SERVICE_UNAVAILABLE",
             error_message=f"Fingerprint indexing failed: {e}",
         )
+    n_chunks = 0
+    if engine.vibe_enabled:
+        pcm_48k = await asyncio.to_thread(
+            resample_to_48k, decoded.pcm, decoded.sample_rate
+        )
+        try:
+            n_chunks = await engine.embed_and_store(track_id, pcm_48k)
+        except Exception:  # noqa: BLE001 — vibe failure degrades, not fatal
+            logger.exception("chunk embedding failed for %s", filename)
 
     # 7. catalog insert
     track = await catalog.a_insert_track(
@@ -137,8 +154,13 @@ async def ingest_bytes(
         file_size_bytes=len(data),
         file_path=str(blob_path),
         fp_indexed=1,
+        embedding_model=settings.embedding_model if n_chunks else None,
+        embedding_dim=settings.embedding_dim if n_chunks else None,
     )
-    logger.info("ingested %s as %s (%d hashes)", filename, track_id, n_hashes)
+    logger.info(
+        "ingested %s as %s (%d hashes, %d chunks)",
+        filename, track_id, n_hashes, n_chunks,
+    )
     return IngestOutcome(status="ingested", track=track)
 
 

@@ -46,7 +46,9 @@ class Settings(BaseModel):
     # auth (fail-closed like the reference: app/auth/admin.py:17-29)
     admin_api_key: str | None = None
 
-    # search knobs (reference: app/settings.py:43-48)
+    # vibe lane / CLAP (reference: app/settings.py:43-48)
+    clap_checkpoint: str | None = None  # torch .bin/.pt checkpoint path
+    clap_random_init: bool = False  # test/bench only: random weights
     embedding_model: str = "clap-htsat-large"
     embedding_dim: int = 512
     vibe_match_threshold: float = 0.60

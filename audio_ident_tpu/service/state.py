@@ -25,21 +25,53 @@ from audio_ident_tpu.search.exact import ExactCandidate, ExactLane
 logger = logging.getLogger(__name__)
 
 
-def resample_to_16k(pcm: np.ndarray, rate: int) -> np.ndarray:
-    """Host-side arbitrary-rate -> 16 kHz (ingest/search normalization).
+def load_vibe_lane(checkpoint_path: str | None, *, random_init: bool = False):
+    """Build a VibeLane from a torch CLAP checkpoint (or a random twin).
+
+    Returns None when no checkpoint is configured — the service then runs
+    exact-only, mirroring the reference's graceful degradation when CLAP
+    fails to load (reference: app/main.py:124-127).
+    """
+    from audio_ident_tpu.models.clap.htsat import ClapAudioConfig
+    from audio_ident_tpu.search.vibe import VibeLane
+
+    config = ClapAudioConfig(fast=True)  # bf16 tower in production
+    if random_init:
+        from audio_ident_tpu.models.clap.port import init_random_params
+
+        params, _ = init_random_params(config, seed=0)
+        return VibeLane(params, config)
+    if not checkpoint_path:
+        return None
+    from audio_ident_tpu.models.clap.port import load_checkpoint
+
+    params = load_checkpoint(checkpoint_path, config)
+    return VibeLane(params, config)
+
+
+def resample_rate(pcm: np.ndarray, rate: int, target: int) -> np.ndarray:
+    """Host-side rational resampler (arbitrary container rate -> target).
 
     The 48k->16k hot path has an on-device twin (ops/resample.py); this
-    generic rational resampler handles arbitrary container rates once per
+    generic polyphase resampler handles arbitrary container rates once per
     file on the host.
     """
-    if rate == spec.SAMPLE_RATE:
+    if rate == target:
         return pcm.astype(np.float32)
     from math import gcd
 
     from scipy.signal import resample_poly
 
-    g = gcd(spec.SAMPLE_RATE, rate)
-    return resample_poly(pcm, spec.SAMPLE_RATE // g, rate // g).astype(np.float32)
+    g = gcd(target, rate)
+    return resample_poly(pcm, target // g, rate // g).astype(np.float32)
+
+
+def resample_to_16k(pcm: np.ndarray, rate: int) -> np.ndarray:
+    return resample_rate(pcm, rate, spec.SAMPLE_RATE)
+
+
+def resample_to_48k(pcm: np.ndarray, rate: int) -> np.ndarray:
+    return resample_rate(pcm, rate, spec.EMBED_SAMPLE_RATE)
 
 
 def ingest_bucket_samples(num_samples: int) -> int:
@@ -58,6 +90,8 @@ class EngineState:
         max_tracks: int = 1 << 20,
         index_dir: str | Path | None = None,
         compile_cache_dir: str | Path | None = None,
+        vibe_lane=None,
+        vector_dir: str | Path | None = None,
     ):
         if compile_cache_dir is not None:
             import jax
@@ -76,6 +110,26 @@ class EngineState:
         self._device_index: DeviceIndex | None = None
         self._tpu = ThreadPoolExecutor(max_workers=1, thread_name_prefix="tpu")
         self._write_lock = asyncio.Lock()
+
+        # vibe lane (optional): CLAP + vector store share the fp registry
+        self.vibe_lane = vibe_lane
+        self.vector_dir = Path(vector_dir) if vector_dir else None
+        self._device_vectors = None
+        if vibe_lane is not None:
+            from audio_ident_tpu.vector.store import VectorStore
+
+            if self.vector_dir and (self.vector_dir / "meta.json").exists():
+                self.vector_store = VectorStore.load(self.vector_dir)
+            else:
+                self.vector_store = VectorStore(
+                    dim=vibe_lane.config.projection_dim
+                )
+        else:
+            self.vector_store = None
+
+    @property
+    def vibe_enabled(self) -> bool:
+        return self.vibe_lane is not None
 
     # -- device mirror ---------------------------------------------------------
 
@@ -122,9 +176,60 @@ class EngineState:
         async with self._write_lock:
             return await self._run(work)
 
+    async def embed_and_store(self, track_id: str, pcm_48k: np.ndarray) -> int:
+        """Embed all chunks in one batched forward, add to the vector store.
+
+        Must run AFTER fingerprint_and_index registered the track (shares
+        the uuid->row registry).  Replaces the reference's sequential
+        per-chunk CLAP loop + Qdrant upsert (reference:
+        app/ingest/pipeline.py:175-195, app/audio/qdrant_setup.py:85-160).
+        """
+        assert self.vibe_lane is not None and self.vector_store is not None
+
+        def work() -> int:
+            row = self.fp_index.row_of(track_id)
+            if row is None:
+                raise ValueError(f"track {track_id} not registered")
+            emb, offsets = self.vibe_lane.embed_chunks(pcm_48k)
+            self.vector_store.add_track(row, emb, offsets)
+            return len(emb)
+
+        async with self._write_lock:
+            return await self._run(work)
+
+    def _current_device_vectors(self):
+        from audio_ident_tpu.vector.search import DeviceVectorIndex
+
+        want = (self.vector_store.version, self.fp_index.version)
+        if self._device_vectors is None or self._device_vectors.version != want:
+            dvi = DeviceVectorIndex.from_host(
+                self.vector_store, track_valid=self.fp_index.track_valid
+            )
+            dvi.version = want
+            self._device_vectors = dvi
+        return self._device_vectors
+
+    async def vibe_search(
+        self, pcm_48k: np.ndarray, exclude_track_row: int | None = None
+    ):
+        assert self.vibe_lane is not None
+
+        def work():
+            return self.vibe_lane.search_scores(
+                pcm_48k,
+                self._current_device_vectors(),
+                exclude_track_row=exclude_track_row,
+            )
+
+        return await self._run(work)
+
     async def delete_track(self, track_id: str) -> bool:
         async with self._write_lock:
-            return self.fp_index.delete_track(track_id)
+            row = self.fp_index.row_of(track_id)
+            ok = self.fp_index.delete_track(track_id)
+            if ok and self.vector_store is not None and row is not None:
+                self.vector_store.delete_track(row)
+            return ok
 
     async def warmup(self) -> None:
         """Compile every query-bucket program before serving traffic.
@@ -147,9 +252,11 @@ class EngineState:
         await self._run(work)
 
     async def snapshot(self) -> None:
-        if self.index_dir:
-            async with self._write_lock:
+        async with self._write_lock:
+            if self.index_dir:
                 await asyncio.to_thread(self.fp_index.save, self.index_dir)
+            if self.vector_dir and self.vector_store is not None:
+                await asyncio.to_thread(self.vector_store.save, self.vector_dir)
 
     async def close(self) -> None:
         self._tpu.shutdown(wait=False)
