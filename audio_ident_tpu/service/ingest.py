@@ -26,6 +26,7 @@ from dataclasses import dataclass
 from pathlib import Path
 
 from audio_ident_tpu.service import audio as audio_io
+from audio_ident_tpu.service import metadata
 from audio_ident_tpu.service.catalog import Catalog, TrackRow
 from audio_ident_tpu.service.settings import Settings
 from audio_ident_tpu.service.state import (
@@ -82,7 +83,8 @@ async def ingest_bytes(
             error_message="Audio format not recognized",
         )
     fmt, _mime = sniffed
-    title = Path(filename).stem or sha256[:12]
+    tags = metadata.extract_tags(data, fmt)
+    title = tags.title or Path(filename).stem or sha256[:12]
 
     # 3. decode + duration bounds
     try:
@@ -113,14 +115,39 @@ async def ingest_bytes(
     blob_path = audio_io.raw_audio_path(settings.storage_root, sha256, fmt)
     await asyncio.to_thread(_write_blob, blob_path, data)
 
-    # 5. content near-dup (chroma) — phase 2, wired when dedup lands
+    # 5. content near-dup: robust-hash fingerprint + Hamming similarity
+    # over the ±10% duration window (replaces fpcalc, reference:
+    # pipeline.py:154-166, dedup.py:170-222)
+    from audio_ident_tpu.ops import content_fp
+
+    pcm_16k = await asyncio.to_thread(resample_to_16k, decoded.pcm, decoded.sample_rate)
+    cfp = await asyncio.to_thread(content_fp.content_fingerprint_np, pcm_16k)
+    near = await catalog.a_find_near_duration(
+        decoded.duration_seconds, content_fp.spec.CFP_DURATION_TOLERANCE
+    )
+    dup = content_fp.is_content_duplicate(
+        cfp,
+        decoded.duration_seconds,
+        [
+            (r.id, r.chromaprint_fingerprint, r.duration_seconds)
+            for r in near
+            if r.chromaprint_fingerprint
+        ],
+    )
+    if dup is not None:
+        existing = await catalog.a_get_track(dup[0])
+        logger.info(
+            "content duplicate of %s (similarity %.3f): %s",
+            dup[0], dup[1], filename,
+        )
+        return IngestOutcome(status="duplicate", track=existing)
+
     # 6. fingerprint + embed on device.  The reference gathers olaf_c and
     # the CLAP executor concurrently (pipeline.py:197); here both are jobs
     # on the single TPU queue, so they run back to back — the win is that
     # each is one batched device program instead of subprocess/per-chunk
     # loops.
     track_id = str(uuidlib.uuid4())
-    pcm_16k = await asyncio.to_thread(resample_to_16k, decoded.pcm, decoded.sample_rate)
     try:
         n_hashes = await engine.fingerprint_and_index(track_id, pcm_16k)
     except Exception as e:  # noqa: BLE001 — map engine failure to pipeline error
@@ -143,8 +170,8 @@ async def ingest_bytes(
     track = await catalog.a_insert_track(
         id=track_id,
         title=title,
-        artist=None,
-        album=None,
+        artist=tags.artist,
+        album=tags.album,
         duration_seconds=decoded.duration_seconds,
         sample_rate=decoded.sample_rate,
         channels=decoded.channels,
@@ -153,6 +180,8 @@ async def ingest_bytes(
         file_hash_sha256=sha256,
         file_size_bytes=len(data),
         file_path=str(blob_path),
+        chromaprint_fingerprint=content_fp.encode_fingerprint(cfp) if len(cfp) else None,
+        chromaprint_duration=decoded.duration_seconds,
         fp_indexed=1,
         embedding_model=settings.embedding_model if n_chunks else None,
         embedding_dim=settings.embedding_dim if n_chunks else None,

@@ -85,6 +85,18 @@ SUB_WINDOW_BUCKET_SEC = 4      # static shape each sub-window is padded to
 WINDOW_MIN_HASHES = 3          # aligned hashes for a sub-window "hit"
                                # (stands in for olaf_c's internal match floor)
 
+# --- Content-dedup fingerprint (replaces Chromaprint/fpcalc, reference:
+#     app/audio/dedup.py:74-222; ours is a frozen Haitsma-Kalker robust hash:
+#     33 log-spaced bands 300-2000 Hz, 32 time/band sign-difference bits per
+#     frame) ------------------------------------------------------------------
+CFP_N_FFT = 2048
+CFP_HOP = 1024                # ~15.6 frames/sec at 16 kHz
+CFP_BANDS = 33                # 33 band energies -> 32 difference bits
+CFP_MIN_FREQ = 300.0
+CFP_MAX_FREQ = 2000.0
+CFP_SIMILARITY_THRESHOLD = 0.85   # reference: dedup.py threshold
+CFP_DURATION_TOLERANCE = 0.10     # ±10% duration window (dedup.py:170-191)
+
 # --- Vibe lane chunking (mirrors reference CLAP chunking,
 #     reference: app/audio/embedding.py:18-23) --------------------------------
 EMBED_SAMPLE_RATE = 48_000
