@@ -177,57 +177,65 @@ def select_peaks_jax(q: jnp.ndarray, budget: int):
     mask = mask & (fi >= spec.MIN_FREQ_BIN) & (fi <= spec.MAX_FREQ_BIN) & (q > 0)
     qm = jnp.where(mask, q, jnp.int32(spec.Q_INVALID))
 
-    # stage 1: per-frame top-P by unique key (q desc, f asc).
-    # Iterative argmax+mask: P cheap VPU passes instead of an XLA top_k
-    # (which lowers to a full per-frame sort and dominated the profile).
+    # stage 1: per-frame top-P by unique key (q desc, f asc).  Two local
+    # maxima are always > PEAK_FREQ_RADIUS bins apart (each would otherwise
+    # lie inside the other's window and lose), so an 8-wide stride-8 max
+    # pool keeps EVERY candidate while shrinking the per-frame top_k input
+    # 8x (from 512 to 64 lanes).  f stays recoverable from the packed key,
+    # so the result is bit-identical to top_k over the full row.
     p = spec.PEAKS_PER_FRAME_CAP
+    assert spec.PEAK_FREQ_RADIUS >= 8, "pool width must stay < min peak gap"
     key1 = qm * 1024 + (1023 - fi)
-    f_cols = []
-    key_work = key1
-    neg = jnp.int32(-(2**31) + 1)
-    for _ in range(p):
-        j = jnp.argmax(key_work, axis=1).astype(jnp.int32)  # [T]
-        f_cols.append(j)
-        key_work = jnp.where(fi == j[:, None], neg, key_work)
-    f_sel = jnp.stack(f_cols, axis=1)  # [T, P]
-    q_sel = jnp.take_along_axis(qm, f_sel, axis=1)
+    pooled = jax.lax.reduce_window(
+        key1,
+        jnp.int32(-(2**31) + 1),
+        jax.lax.max,
+        window_dimensions=(1, 8),
+        window_strides=(1, 8),
+        padding="VALID",
+    )
+    top1, _ = jax.lax.top_k(pooled, p)  # [T, P]
+    # key = 1024*q + (1023-f) with 0 <= 1023-f < 1024: Python-style modulo
+    # recovers f exactly for negative (masked) q as well
+    f_sel = 1023 - (top1 % 1024)
+    q_sel = (top1 - (top1 % 1024)) // 1024
     t_sel = jax.lax.broadcasted_iota(jnp.int32, (tdim, p), 0)
 
-    # stage 2: select the global top-``budget`` by (q desc, (t,f) asc)
-    # WITHOUT a large sort: counting-sort threshold.  The flat candidate
-    # array is ordered (t asc, then q desc with f asc among equal q) by
-    # stage-1 construction, so among candidates with EQUAL q the flat order
-    # is exactly (t, f) ascending — a cumsum gives the tie rank directly.
-    # Salience q is bounded (~3e3 << 4096), so a 4096-bin histogram plus a
-    # reverse cumsum yields the exact q threshold.
+    # stage 2: select the global top-``budget`` by (q desc, (t,f) asc).
+    # The flat candidate array is ordered (t asc, then q desc with f asc
+    # among equal q) by stage-1 construction, so (q desc, flat idx asc) is
+    # exactly the frozen selection order.  Pack both into ONE uint32 key —
+    # q <= 4095 in the top 12 bits, reversed flat idx (< 2^20, enough for
+    # 1800 s ingest buckets) in the low 20 — and take a single top_k.
+    # (A 4096-bin histogram threshold was ~2x slower: it materialized a
+    # [4096, n_cand] compare matrix per clip.)
     q_flat = q_sel.reshape(-1)
-    t_flat = t_sel.reshape(-1)
     f_flat = f_sel.reshape(-1)
-    tf_flat = t_flat * 1024 + f_flat
     n_cand = q_flat.shape[0]
+    assert n_cand < (1 << 20), "candidate array exceeds the packed-key budget"
 
     q_ok = q_flat > 0
-    qc = jnp.clip(q_flat, 0, 4095)
-    bins = jnp.arange(4096, dtype=jnp.int32)
-    hist = jnp.sum(
-        ((qc[None, :] == bins[:, None]) & q_ok[None, :]).astype(jnp.int32), axis=1
+    qc = jnp.clip(q_flat, 0, 4095).astype(jnp.uint32)
+    flat_idx = jnp.arange(n_cand, dtype=jnp.uint32)
+    key = jnp.where(
+        q_ok, (qc << 20) | (jnp.uint32(0xFFFFF) - flat_idx), jnp.uint32(0)
     )
-    total = jnp.sum(hist)
-    # n_above[v] = #candidates with q > v  (monotone non-increasing in v)
-    n_above = total - jnp.cumsum(hist)
-    q_star = jnp.sum((n_above > budget).astype(jnp.int32))  # threshold value
-    n_above_star = jnp.sum(
-        jnp.where(bins == q_star, n_above, 0)
+    k = min(budget, n_cand)
+    top_keys, _ = jax.lax.top_k(key, k)
+    sel_idx = (jnp.uint32(0xFFFFF) - (top_keys & jnp.uint32(0xFFFFF))).astype(
+        jnp.int32
     )
-    fill = budget - n_above_star
-    tie_rank = jnp.cumsum(((qc == q_star) & q_ok).astype(jnp.int32))
-    selected = q_ok & ((qc > q_star) | ((qc == q_star) & (tie_rank <= fill)))
+    sel_ok = top_keys != 0
 
-    # compact + order by (t, f) asc in one small single-key sort
-    sort_key = jnp.where(selected, tf_flat, jnp.int32(spec.TF_INVALID))
-    key_sorted = jax.lax.sort(sort_key)[:budget] if n_cand >= budget else jnp.pad(
-        jax.lax.sort(sort_key), (0, budget - n_cand), constant_values=spec.TF_INVALID
-    )
+    # recover (t, f) and order by (t, f) asc in one small single-key sort
+    sel_t = jnp.where(sel_ok, sel_idx // p, 0)
+    sel_f = jnp.where(sel_ok, f_flat[jnp.clip(sel_idx, 0, n_cand - 1)], 0)
+    sort_key = jnp.where(sel_ok, sel_t * 1024 + sel_f, jnp.int32(spec.TF_INVALID))
+    key_sorted = jax.lax.sort(sort_key)
+    if k < budget:
+        key_sorted = jnp.pad(
+            key_sorted, (0, budget - k), constant_values=spec.TF_INVALID
+        )
     valid = key_sorted != jnp.int32(spec.TF_INVALID)
     t_out = jnp.where(valid, key_sorted >> 10, -1)
     f_out = jnp.where(valid, key_sorted & 1023, -1)
