@@ -1,0 +1,156 @@
+"""Exact-lane accuracy evaluation against an eval corpus.
+
+Mirrors the reference's metrics and targets (reference:
+scripts/eval_exact.py:46-545): top-1 by environment (clean/noisy/browser),
+top-5, median offset error, false-positive rate on negative controls, and
+per-query latency p50/p95.
+
+Runs the engine DIRECTLY against the service's persisted state (catalog +
+index snapshot under DATA_ROOT), so accuracy is measured without HTTP
+overhead (eval_latency.py covers the HTTP path).
+
+Usage:
+    DATA_ROOT=./data python scripts/eval_exact.py --corpus eval_corpus \
+        [--json exact_metrics.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import statistics
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from audio_ident_tpu import spec  # noqa: E402
+from audio_ident_tpu.index.match import DeviceIndex  # noqa: E402
+from audio_ident_tpu.index.store import FingerprintIndex  # noqa: E402
+from audio_ident_tpu.search.exact import ExactLane  # noqa: E402
+from audio_ident_tpu.service.audio import decode_wav  # noqa: E402
+from audio_ident_tpu.service.catalog import Catalog  # noqa: E402
+from audio_ident_tpu.service.settings import load_settings  # noqa: E402
+
+TARGETS = {
+    # reference: scripts/eval_exact.py:46-53
+    "top1_clean": 0.98,
+    "top1_noisy": 0.75,
+    "top1_browser": 0.70,
+    "top5_overall": 0.85,
+    "median_offset_error_sec": 0.5,
+    "false_positive_rate": 0.02,
+    "latency_p95_ms": 2000.0,
+}
+
+
+def evaluate(corpus: Path, settings) -> dict:
+    catalog = Catalog(settings.catalog_file)
+    fp_index = FingerprintIndex.load(settings.index_dir)
+    lane = ExactLane(DeviceIndex.from_host(fp_index))
+    title_to_id = {}
+    rows, _total = catalog.list_tracks(page=1, page_size=100)
+    page = 1
+    while rows:
+        for r in rows:
+            title_to_id[r.title] = r.id
+        page += 1
+        rows, _ = catalog.list_tracks(page=page, page_size=100)
+
+    per_env_hits: dict[str, list[int]] = {}
+    top5_hits: list[int] = []
+    offset_errors: list[float] = []
+    negatives_total = 0
+    negatives_matched = 0
+    latencies: list[float] = []
+
+    with (corpus / "ground_truth.csv").open() as f:
+        gt = list(csv.DictReader(f))
+
+    for row in gt:
+        pcm = decode_wav((corpus / row["clip"]).read_bytes()).pcm
+        t0 = time.perf_counter()
+        results = lane.search(pcm, max_results=5)
+        latencies.append((time.perf_counter() - t0) * 1000)
+        result_ids = [fp_index.uuid_of(c.track_row) for c in results]
+
+        if row["type"] == "negative":
+            negatives_total += 1
+            if results:
+                negatives_matched += 1
+            continue
+
+        expected = title_to_id.get(row["source"])
+        hit1 = bool(result_ids) and result_ids[0] == expected
+        per_env_hits.setdefault(row["environment"], []).append(int(hit1))
+        top5_hits.append(int(expected in result_ids))
+        if hit1:
+            offset_errors.append(
+                abs(results[0].offset_seconds - float(row["offset_sec"]))
+            )
+
+    def rate(xs):
+        return sum(xs) / len(xs) if xs else None
+
+    lat_sorted = sorted(latencies)
+
+    def pct(p):
+        return lat_sorted[min(int(p / 100 * len(lat_sorted)), len(lat_sorted) - 1)]
+
+    metrics = {
+        "top1_clean": rate(per_env_hits.get("clean", [])),
+        "top1_noisy": rate(per_env_hits.get("noisy", [])),
+        "top1_browser": rate(per_env_hits.get("browser", [])),
+        "top5_overall": rate(top5_hits),
+        "median_offset_error_sec": (
+            statistics.median(offset_errors) if offset_errors else None
+        ),
+        "false_positive_rate": (
+            negatives_matched / negatives_total if negatives_total else None
+        ),
+        "latency_p50_ms": pct(50) if latencies else None,
+        "latency_p95_ms": pct(95) if latencies else None,
+        "num_queries": len(gt),
+        "num_tracks": fp_index.num_tracks,
+    }
+    catalog.close()
+    return metrics
+
+
+def check_targets(metrics: dict) -> list[str]:
+    failures = []
+    for key, target in TARGETS.items():
+        got = metrics.get(key)
+        if got is None:
+            continue
+        ok = got <= target if ("error" in key or "rate" in key or "latency" in key) else got >= target
+        if not ok:
+            failures.append(f"{key}: {got:.3f} vs target {target}")
+    return failures
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", type=Path, required=True)
+    ap.add_argument("--json", type=Path, default=None)
+    args = ap.parse_args()
+    settings = load_settings()
+    metrics = evaluate(args.corpus, settings)
+    print(json.dumps(metrics, indent=2))
+    if args.json:
+        args.json.write_text(json.dumps(metrics))
+    failures = check_targets(metrics)
+    if failures:
+        print("TARGET FAILURES:")
+        for f in failures:
+            print(" ", f)
+        raise SystemExit(1)
+    print("all targets met")
+
+
+if __name__ == "__main__":
+    main()
