@@ -15,6 +15,14 @@ def main() -> None:
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
+    # honor JAX_PLATFORMS even though the platform plugin force-overrides it
+    # (same re-pin as tests/conftest.py)
+    import os
+
+    if "JAX_PLATFORMS" in os.environ:
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     settings = load_settings()
     app = create_app(settings)
     try:

@@ -22,7 +22,7 @@ logger = logging.getLogger(__name__)
 
 STATUS_PHRASES = {
     200: "OK", 201: "Created", 204: "No Content", 206: "Partial Content",
-    304: "Not Modified",
+    304: "Not Modified", 307: "Temporary Redirect",
     400: "Bad Request", 401: "Unauthorized", 403: "Forbidden",
     404: "Not Found", 405: "Method Not Allowed", 409: "Conflict",
     413: "Payload Too Large", 416: "Range Not Satisfiable",

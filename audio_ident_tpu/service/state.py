@@ -174,7 +174,29 @@ class EngineState:
             return int(v.sum())
 
         async with self._write_lock:
-            return await self._run(work)
+            result = await self._run(work)
+        # Growing postings can cross a pow2 capacity boundary, changing the
+        # device-mirror shapes: the next query would then eat a fresh XLA
+        # compile and blow its 3 s budget (measured as a 504 in production
+        # driving).  Re-warm in the background on the TPU thread.
+        asyncio.get_running_loop().run_in_executor(self._tpu, self._rewarm_if_grown)
+        return result
+
+    def _rewarm_if_grown(self) -> None:
+        try:
+            di = self._current_device_index()
+            caps = (di.tracks.shape[0], di.d_hash.shape[0])
+            if caps == getattr(self, "_warmed_caps", None):
+                return
+            self._warmed_caps = caps
+            lane = ExactLane(di)
+            lane.search(np.zeros(spec.SUB_WINDOW_BUCKET_SEC * spec.SAMPLE_RATE, np.float32))
+            for b in spec.QUERY_BUCKETS_SEC:
+                if b <= spec.SHORT_CLIP_THRESHOLD_SEC:
+                    continue
+                lane.search(np.zeros(b * spec.SAMPLE_RATE, np.float32))
+        except Exception:  # noqa: BLE001 — warm-up must never break serving
+            logger.exception("background re-warm failed")
 
     async def embed_and_store(self, track_id: str, pcm_48k: np.ndarray) -> int:
         """Embed all chunks in one batched forward, add to the vector store.
