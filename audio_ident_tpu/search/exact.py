@@ -89,17 +89,19 @@ class ExactLane:
 
     # -- public API -----------------------------------------------------------
 
-    def search(self, pcm_16k: np.ndarray, max_results: int = 10) -> list[ExactCandidate]:
-        """Identify a 16 kHz mono f32 clip against the index."""
+    def candidates(self, pcm_16k: np.ndarray) -> list[ExactCandidate]:
+        """Unfiltered consensus candidates (weak evidence included) —
+        used by the streaming identifier's carried voting."""
         if pcm_16k.size < spec.N_FFT:
             return []
         duration = pcm_16k.size / spec.SAMPLE_RATE
-
         if duration <= spec.SHORT_CLIP_THRESHOLD_SEC:
-            candidates = self._search_subwindows(pcm_16k, duration)
-        else:
-            candidates = self._search_full(pcm_16k, duration)
+            return self._search_subwindows(pcm_16k, duration)
+        return self._search_full(pcm_16k, duration)
 
+    def search(self, pcm_16k: np.ndarray, max_results: int = 10) -> list[ExactCandidate]:
+        """Identify a 16 kHz mono f32 clip against the index."""
+        candidates = self.candidates(pcm_16k)
         kept = [c for c in candidates if c.aligned_hashes >= spec.MIN_ALIGNED_HASHES]
         for c in kept:
             c.confidence = normalize_confidence(c.aligned_hashes)
