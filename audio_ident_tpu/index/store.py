@@ -113,34 +113,36 @@ class FingerprintIndex:
         return True
 
     def flush(self) -> None:
-        """Fold pending appends into the sorted delta."""
+        """Fold pending appends into the sorted delta (native radix sort
+        when the C++ runtime is built; NumPy lexsort otherwise)."""
         if not self._pending:
             return
+        from audio_ident_tpu.utils.native import sort_postings
+
         hs = [self.d_hash] + [p[0] for p in self._pending]
         rs = [self.d_track] + [p[1] for p in self._pending]
         ts = [self.d_time] + [p[2] for p in self._pending]
-        h = np.concatenate(hs)
-        r = np.concatenate(rs)
-        t = np.concatenate(ts)
-        order = np.lexsort((t, r, h))
-        self.d_hash, self.d_track, self.d_time = h[order], r[order], t[order]
+        self.d_hash, self.d_track, self.d_time = sort_postings(
+            np.concatenate(hs), np.concatenate(rs), np.concatenate(ts)
+        )
         self._pending.clear()
 
     def merge_delta(self) -> None:
-        """LSM compaction: delta -> main CSR; drop tombstoned postings."""
+        """LSM compaction: delta -> main CSR; drop tombstoned postings.
+
+        Runs the C++ merge kernel when built (both runs are already sorted,
+        so compaction is one linear merge pass instead of a global lexsort).
+        """
         self.flush()
-        h = np.concatenate([self._main_hashes(), self.d_hash])
-        r = np.concatenate([self.tracks, self.d_track])
-        t = np.concatenate([self.times, self.d_time])
-        live = self.track_valid[r]
-        h, r, t = h[live], r[live], t[live]
-        order = np.lexsort((t, r, h))
-        h, r, t = h[order], r[order], t[order]
-        counts = np.bincount(h, minlength=spec.HASH_SPACE)
-        self.offsets = np.zeros(spec.HASH_SPACE + 1, dtype=np.int64)
-        np.cumsum(counts, out=self.offsets[1:])
-        self.offsets = self.offsets.astype(np.int32)
-        self.tracks, self.times = r.astype(np.int32), t.astype(np.int32)
+        from audio_ident_tpu.utils.native import merge_postings
+
+        r, t, offsets = merge_postings(
+            self._main_hashes(), self.tracks, self.times,
+            self.d_hash, self.d_track, self.d_time,
+            self.track_valid,
+        )
+        self.offsets = offsets.astype(np.int32)
+        self.tracks, self.times = r, t
         self.d_hash = np.zeros(0, dtype=np.int32)
         self.d_track = np.zeros(0, dtype=np.int32)
         self.d_time = np.zeros(0, dtype=np.int32)

@@ -1,0 +1,165 @@
+"""ctypes bindings for the C++ runtime library (native/libaudioident.so).
+
+No pybind11 exists in this image, so the library exposes a C ABI and the
+binding is plain ctypes over NumPy buffers.  Everything here is OPTIONAL:
+callers fall back to NumPy implementations when the library isn't built
+(``make native`` builds it).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from audio_ident_tpu import spec
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libaudioident.so"
+
+# packing bounds frozen in the C++ (native/src/lsm_kernels.cc)
+_MAX_TRACK = 1 << 21
+_MAX_TIME = 1 << 17
+
+
+def build_native() -> bool:
+    """Build the library with make; returns success."""
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)], check=True,
+            capture_output=True, timeout=120,
+        )
+        native_lib.cache_clear()
+        return _LIB_PATH.exists()
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+@functools.lru_cache(maxsize=1)
+def native_lib() -> ctypes.CDLL | None:
+    """The loaded library, or None when not built/available."""
+    if not _LIB_PATH.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.ai_sort_postings.argtypes = [i32p, i32p, i32p, ctypes.c_int64]
+    lib.ai_sort_postings.restype = None
+    lib.ai_merge_postings.argtypes = [
+        i32p, i32p, i32p, ctypes.c_int64,
+        i32p, i32p, i32p, ctypes.c_int64,
+        u8p, ctypes.c_int64, ctypes.c_int64,
+        i32p, i32p, i64p,
+    ]
+    lib.ai_merge_postings.restype = ctypes.c_int64
+    lib.ai_hamming_batch.argtypes = [
+        u32p, ctypes.c_int64, u32p, i64p, ctypes.c_int64, f64p,
+    ]
+    lib.ai_hamming_batch.restype = None
+    return lib
+
+
+def _check_bounds(track: np.ndarray, time: np.ndarray) -> bool:
+    if len(track) == 0:
+        return True
+    return (
+        int(track.max(initial=0)) < _MAX_TRACK
+        and int(track.min(initial=0)) >= 0
+        and int(time.max(initial=0)) < _MAX_TIME
+        and int(time.min(initial=0)) >= 0
+    )
+
+
+def sort_postings(h: np.ndarray, track: np.ndarray, time: np.ndarray):
+    """(hash, track, time) lexsort — native radix when available.
+
+    Returns sorted copies; falls back to np.lexsort.
+    """
+    lib = native_lib()
+    if lib is not None and _check_bounds(track, time):
+        hs = np.ascontiguousarray(h, np.int32).copy()
+        rs = np.ascontiguousarray(track, np.int32).copy()
+        ts = np.ascontiguousarray(time, np.int32).copy()
+        lib.ai_sort_postings(hs, rs, ts, len(hs))
+        return hs, rs, ts
+    order = np.lexsort((time, track, h))
+    return (
+        np.asarray(h, np.int32)[order],
+        np.asarray(track, np.int32)[order],
+        np.asarray(time, np.int32)[order],
+    )
+
+
+def merge_postings(
+    h_a, r_a, t_a, h_b, r_b, t_b, track_valid: np.ndarray
+):
+    """Merge two sorted runs, drop tombstones, build CSR offsets.
+
+    Returns (tracks, times, offsets[HASH_SPACE+1] int64).  Native merge when
+    available; NumPy fallback otherwise.
+    """
+    lib = native_lib()
+    n_total = len(h_a) + len(h_b)
+    if (
+        lib is not None
+        and _check_bounds(np.asarray(r_a), np.asarray(t_a))
+        and _check_bounds(np.asarray(r_b), np.asarray(t_b))
+    ):
+        r_out = np.empty(n_total, np.int32)
+        t_out = np.empty(n_total, np.int32)
+        offsets = np.empty(spec.HASH_SPACE + 1, np.int64)
+        tv = np.ascontiguousarray(track_valid, np.uint8)
+        n = lib.ai_merge_postings(
+            np.ascontiguousarray(h_a, np.int32),
+            np.ascontiguousarray(r_a, np.int32),
+            np.ascontiguousarray(t_a, np.int32),
+            len(h_a),
+            np.ascontiguousarray(h_b, np.int32),
+            np.ascontiguousarray(r_b, np.int32),
+            np.ascontiguousarray(t_b, np.int32),
+            len(h_b),
+            tv, len(tv), spec.HASH_SPACE,
+            r_out, t_out, offsets,
+        )
+        return r_out[:n].copy(), t_out[:n].copy(), offsets
+    # NumPy fallback
+    h = np.concatenate([np.asarray(h_a, np.int64), np.asarray(h_b, np.int64)])
+    r = np.concatenate([np.asarray(r_a, np.int32), np.asarray(r_b, np.int32)])
+    t = np.concatenate([np.asarray(t_a, np.int32), np.asarray(t_b, np.int32)])
+    live = track_valid[np.clip(r, 0, len(track_valid) - 1)] & (r >= 0)
+    h, r, t = h[live], r[live], t[live]
+    order = np.lexsort((t, r, h))
+    h, r, t = h[order], r[order], t[order]
+    counts = np.bincount(h, minlength=spec.HASH_SPACE)
+    offsets = np.zeros(spec.HASH_SPACE + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return r.astype(np.int32), t.astype(np.int32), offsets
+
+
+def hamming_batch(query: np.ndarray, candidates: list[np.ndarray]) -> np.ndarray:
+    """Similarity of a uint32 fingerprint vs each candidate (see
+    ops/content_fp.fingerprint_similarity for the frozen definition)."""
+    lib = native_lib()
+    if lib is not None and candidates:
+        q = np.ascontiguousarray(query, np.uint32)
+        lens = np.asarray([len(c) for c in candidates], np.int64)
+        flat = (
+            np.concatenate([np.asarray(c, np.uint32) for c in candidates])
+            if lens.sum()
+            else np.zeros(1, np.uint32)
+        )
+        out = np.empty(len(candidates), np.float64)
+        lib.ai_hamming_batch(q, len(q), np.ascontiguousarray(flat), lens, len(candidates), out)
+        return out
+    from audio_ident_tpu.ops.content_fp import fingerprint_similarity
+
+    return np.asarray([fingerprint_similarity(query, c) for c in candidates])
