@@ -46,7 +46,14 @@ class DeviceIndex:
 
     @staticmethod
     def _pad_pow2(a: np.ndarray, fill, min_cap: int = 1024) -> np.ndarray:
-        cap = max(min_cap, 1 << int(np.ceil(np.log2(max(len(a), 1)))))
+        n = max(len(a), 1)
+        if n > (1 << 27):
+            # beyond 134M postings, pow2 padding wastes GBs of HBM; pad to
+            # the next 64M-entry step instead (recompiles stay rare)
+            step = 1 << 26
+            cap = ((n + step - 1) // step) * step
+        else:
+            cap = max(min_cap, 1 << int(np.ceil(np.log2(n))))
         out = np.full(cap, fill, dtype=a.dtype)
         out[: len(a)] = a
         return out

@@ -195,6 +195,13 @@ def select_peaks_jax(q: jnp.ndarray, budget: int):
         padding="VALID",
     )
     top1, _ = jax.lax.top_k(pooled, p)  # [T, P]
+    return select_from_topkeys(top1, budget)
+
+
+def select_from_topkeys(top1: jnp.ndarray, budget: int):
+    """Stage 2 from per-frame packed top-P keys [T, P] (shared with the
+    fused Pallas front-end, ops/pallas_frontend.py)."""
+    tdim, p = top1.shape
     # key = 1024*q + (1023-f) with 0 <= 1023-f < 1024: Python-style modulo
     # recovers f exactly for negative (masked) q as well
     f_sel = 1023 - (top1 % 1024)
@@ -280,19 +287,48 @@ def pair_hashes_jax(t: jnp.ndarray, f: jnp.ndarray, valid: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 
-def fingerprint_jax(pcm_16k: jnp.ndarray, budget: int, use_fft: bool = False):
+def fingerprint_jax(
+    pcm_16k: jnp.ndarray,
+    budget: int,
+    use_fft: bool = False,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
+):
     """16 kHz float32 [S] -> (hashes u32 [budget*LK], t_anchor i32, valid).
 
     Jittable for a static S; batch with ``fingerprint_batch``/vmap.
+    ``use_pallas`` routes salience+peak-selection through the fused VMEM
+    kernel (bit-identical; falls back automatically for long clips).
     """
     frames = frame_signal_jax(pcm_16k)
     logmag = log_magnitude_jax(frames, use_fft=use_fft)
+
+    if use_pallas:
+        from audio_ident_tpu.ops.pallas_frontend import fused_topkeys, supports_fused
+
+        if supports_fused(logmag.shape[0]):
+            top1 = fused_topkeys(logmag, interpret=pallas_interpret)[
+                :, : spec.PEAKS_PER_FRAME_CAP
+            ]
+            t, f, valid = select_from_topkeys(top1, budget)
+            return pair_hashes_jax(t, f, valid)
+
     q = quantized_salience_jax(logmag)
     t, f, valid = select_peaks_jax(q, budget)
     return pair_hashes_jax(t, f, valid)
 
 
-@functools.partial(jax.jit, static_argnames=("budget", "use_fft"))
-def fingerprint_batch(pcm_16k: jnp.ndarray, budget: int, use_fft: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("budget", "use_fft", "use_pallas", "pallas_interpret")
+)
+def fingerprint_batch(
+    pcm_16k: jnp.ndarray,
+    budget: int,
+    use_fft: bool = False,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
+):
     """Batched pipeline [B, S] -> (hashes [B, H], t_anchor [B, H], valid)."""
-    return jax.vmap(lambda x: fingerprint_jax(x, budget, use_fft))(pcm_16k)
+    return jax.vmap(
+        lambda x: fingerprint_jax(x, budget, use_fft, use_pallas, pallas_interpret)
+    )(pcm_16k)

@@ -73,16 +73,42 @@ def _fingerprint_and_match(pcm_batch, budget: int, di: DeviceIndex):
 
 
 class ExactLane:
-    """Host-side driver for the exact lane over a device-resident index."""
+    """Host-side driver for the exact lane.
 
-    def __init__(self, device_index: DeviceIndex):
+    Single-chip: ``ExactLane(device_index)``.  Multi-chip:
+    ``ExactLane.sharded(sharded_index, mesh)`` — fingerprinting stays
+    replicated-per-window and matching fans out over the mesh
+    (parallel/sharded_index.py), so the service scales past one chip's HBM
+    by flipping the MESH_SHARDS setting.
+    """
+
+    def __init__(self, device_index: DeviceIndex | None, _sharded=None):
         self.device_index = device_index
+        self._sharded = _sharded  # (ShardedDeviceIndex, Mesh) | None
+
+    @classmethod
+    def sharded(cls, sharded_index, mesh) -> "ExactLane":
+        return cls(None, _sharded=(sharded_index, mesh))
 
     # -- device dispatch ------------------------------------------------------
 
     def _match_windows(self, windows: np.ndarray) -> list[tuple[np.ndarray, ...]]:
         """Run fingerprint+match for a [B, S] batch of padded windows."""
         budget = spec.max_peaks(windows.shape[1])
+        if self._sharded is not None:
+            from audio_ident_tpu.ops.fingerprint import fingerprint_batch
+            from audio_ident_tpu.parallel.sharded_index import sharded_match
+
+            sdi, mesh = self._sharded
+            h, t, v = fingerprint_batch(windows, budget)
+            out = []
+            for i in range(windows.shape[0]):
+                trk, ali, off = sharded_match(
+                    np.asarray(h[i]).astype(np.int32), np.asarray(t[i]),
+                    np.asarray(v[i]), sdi, mesh,
+                )
+                out.append((np.asarray(trk), np.asarray(ali), np.asarray(off)))
+            return out
         trk, ali, off = _fingerprint_and_match(windows, budget, self.device_index)
         trk, ali, off = np.asarray(trk), np.asarray(ali), np.asarray(off)
         return [(trk[i], ali[i], off[i]) for i in range(windows.shape[0])]

@@ -92,6 +92,7 @@ class EngineState:
         compile_cache_dir: str | Path | None = None,
         vibe_lane=None,
         vector_dir: str | Path | None = None,
+        mesh_shards: int = 0,
     ):
         if compile_cache_dir is not None:
             import jax
@@ -110,6 +111,21 @@ class EngineState:
         self._device_index: DeviceIndex | None = None
         self._tpu = ThreadPoolExecutor(max_workers=1, thread_name_prefix="tpu")
         self._write_lock = asyncio.Lock()
+
+        # multi-chip: shard the index over a device mesh (MESH_SHARDS > 1)
+        self.mesh = None
+        self._sharded_index = None
+        if mesh_shards > 1:
+            import jax
+
+            from audio_ident_tpu.parallel import make_index_mesh
+
+            devices = jax.devices()
+            if len(devices) < mesh_shards:
+                raise RuntimeError(
+                    f"MESH_SHARDS={mesh_shards} but only {len(devices)} devices"
+                )
+            self.mesh = make_index_mesh(devices[:mesh_shards])
 
         # vibe lane (optional): CLAP + vector store share the fp registry
         self.vibe_lane = vibe_lane
@@ -141,6 +157,20 @@ class EngineState:
             self._device_index = DeviceIndex.from_host(self.fp_index)
         return self._device_index
 
+    def _current_exact_lane(self) -> ExactLane:
+        if self.mesh is not None:
+            from audio_ident_tpu.parallel import ShardedDeviceIndex
+
+            if (
+                self._sharded_index is None
+                or self._sharded_index.version != self.fp_index.version
+            ):
+                self._sharded_index = ShardedDeviceIndex.from_host(
+                    self.fp_index, self.mesh
+                )
+            return ExactLane.sharded(self._sharded_index, self.mesh)
+        return ExactLane(self._current_device_index())
+
     # -- async facade (all device work hops to the TPU thread) ------------------
 
     async def _run(self, fn, *args):
@@ -150,8 +180,10 @@ class EngineState:
         self, pcm_16k: np.ndarray, max_results: int = 10
     ) -> list[ExactCandidate]:
         def work() -> list[ExactCandidate]:
-            lane = ExactLane(self._current_device_index())
-            return lane.search(pcm_16k, max_results)
+            from audio_ident_tpu.utils.profiling import device_trace, span
+
+            with span("exact_search"), device_trace():
+                return self._current_exact_lane().search(pcm_16k, max_results)
 
         return await self._run(work)
 
@@ -160,18 +192,20 @@ class EngineState:
 
         def work() -> int:
             from audio_ident_tpu.ops.fingerprint import fingerprint_batch
+            from audio_ident_tpu.utils.profiling import span
 
-            n = ingest_bucket_samples(len(pcm_16k))
-            padded = np.zeros(n, dtype=np.float32)
-            m = min(len(pcm_16k), n)
-            padded[:m] = pcm_16k[:m]
-            budget = spec.max_peaks(n)
-            h, t, v = fingerprint_batch(padded[None], budget)
-            h = np.asarray(h[0]).astype(np.int64)
-            t = np.asarray(t[0])
-            v = np.asarray(v[0])
-            self.fp_index.add_track(track_id, h, t, v)
-            return int(v.sum())
+            with span("fingerprint_index"):
+                n = ingest_bucket_samples(len(pcm_16k))
+                padded = np.zeros(n, dtype=np.float32)
+                m = min(len(pcm_16k), n)
+                padded[:m] = pcm_16k[:m]
+                budget = spec.max_peaks(n)
+                h, t, v = fingerprint_batch(padded[None], budget)
+                h = np.asarray(h[0]).astype(np.int64)
+                t = np.asarray(t[0])
+                v = np.asarray(v[0])
+                self.fp_index.add_track(track_id, h, t, v)
+                return int(v.sum())
 
         async with self._write_lock:
             result = await self._run(work)
@@ -189,7 +223,7 @@ class EngineState:
             if caps == getattr(self, "_warmed_caps", None):
                 return
             self._warmed_caps = caps
-            lane = ExactLane(di)
+            lane = self._current_exact_lane()
             lane.search(np.zeros(spec.SUB_WINDOW_BUCKET_SEC * spec.SAMPLE_RATE, np.float32))
             for b in spec.QUERY_BUCKETS_SEC:
                 if b <= spec.SHORT_CLIP_THRESHOLD_SEC:
@@ -237,11 +271,14 @@ class EngineState:
         assert self.vibe_lane is not None
 
         def work():
-            return self.vibe_lane.search_scores(
-                pcm_48k,
-                self._current_device_vectors(),
-                exclude_track_row=exclude_track_row,
-            )
+            from audio_ident_tpu.utils.profiling import span
+
+            with span("vibe_search"):
+                return self.vibe_lane.search_scores(
+                    pcm_48k,
+                    self._current_device_vectors(),
+                    exclude_track_row=exclude_track_row,
+                )
 
         return await self._run(work)
 
@@ -264,7 +301,7 @@ class EngineState:
         """
 
         def work() -> None:
-            lane = ExactLane(self._current_device_index())
+            lane = self._current_exact_lane()
             lane.search(np.zeros(4 * spec.SAMPLE_RATE, np.float32))  # sub-window path
             for b in spec.QUERY_BUCKETS_SEC:
                 if b <= spec.SHORT_CLIP_THRESHOLD_SEC:

@@ -26,7 +26,7 @@ def main() -> None:
     seconds = 10
     samples = seconds * spec.SAMPLE_RATE
     budget = spec.max_peaks(samples)
-    batch = 512  # large batch amortizes the ~26 ms tunnel dispatch overhead
+    batch = 2048  # large batch amortizes the ~26 ms tunnel dispatch overhead
 
     @jax.jit
     def step(pcm):

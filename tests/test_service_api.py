@@ -313,3 +313,39 @@ async def test_track_audio_streaming_with_range(client):
     )
     assert r.status_code == 206
     assert r.content == data[-8:]
+
+
+async def test_concurrent_ingest_returns_429(client):
+    """Single-writer regime: a second ingest while one is in flight gets
+    RATE_LIMITED (reference TOCTOU-safe lock: app/routers/ingest.py:149-161)."""
+    import asyncio
+
+    big = _wav(seconds=20.0, seed=90)
+    small = _wav(seconds=6.0, seed=91)
+
+    async def first():
+        return await _ingest(client, big, name="big.wav")
+
+    async def second():
+        await asyncio.sleep(0.05)  # let the first acquire the lock
+        return await _ingest(client, small, name="small.wav")
+
+    r1, r2 = await asyncio.gather(first(), second())
+    codes = sorted([r1.status_code, r2.status_code])
+    # one succeeds; the other either hit the lock (429) or ran after (201)
+    assert codes[1] in (201, 429)
+    assert 201 in codes
+    if 429 in codes:
+        body = (r2 if r2.status_code == 429 else r1).json()
+        assert body["error"]["code"] == "RATE_LIMITED"
+
+
+async def test_debug_spans_endpoint(client):
+    await _ingest(client, _wav(seconds=6.0, seed=95), name="spantest.wav")
+    r = await client.get("/api/v1/debug/spans", headers=ADMIN)
+    assert r.status_code == 200
+    names = {s["name"] for s in r.json()["spans"]}
+    assert "fingerprint_index" in names
+    # admin-gated
+    r = await client.get("/api/v1/debug/spans")
+    assert r.status_code == 403
