@@ -7,10 +7,22 @@ queries fan out via ``shard_map`` with XLA collectives (``all_gather``) as
 the entire communication backend; no NCCL/MPI analog exists or is needed.
 """
 
+from audio_ident_tpu.parallel.multihost import init_distributed
 from audio_ident_tpu.parallel.sharded_index import (
     ShardedDeviceIndex,
     make_index_mesh,
     sharded_match,
 )
+from audio_ident_tpu.parallel.sharded_vectors import (
+    ShardedVectorIndex,
+    sharded_vector_topk,
+)
 
-__all__ = ["ShardedDeviceIndex", "make_index_mesh", "sharded_match"]
+__all__ = [
+    "ShardedDeviceIndex",
+    "ShardedVectorIndex",
+    "init_distributed",
+    "make_index_mesh",
+    "sharded_match",
+    "sharded_vector_topk",
+]
