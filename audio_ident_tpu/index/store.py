@@ -178,6 +178,36 @@ class FingerprintIndex:
         (path / "registry.json").write_text(
             json.dumps({"rows": self.row_to_uuid, "max_tracks": self.max_tracks})
         )
+        # the snapshot now covers everything: drop absorbed WAL entries
+        wal = path / "wal"
+        if wal.is_dir():
+            for f in wal.glob("*.npz"):
+                f.unlink()
+
+    # -- write-ahead log: per-track postings survive crashes between
+    # snapshots (the reference's only recovery is full rebuild-from-raw;
+    # ours replays the WAL on load and falls back to rebuild) ---------------
+
+    def wal_append(self, path: str | Path, track_id: str, hashes, t_anchor) -> None:
+        wal = Path(path) / "wal"
+        wal.mkdir(parents=True, exist_ok=True)
+        np.savez(wal / f"{track_id}.npz", h=np.asarray(hashes, np.int32),
+                 t=np.asarray(t_anchor, np.int32))
+
+    def wal_replay(self, path: str | Path) -> int:
+        """Re-add WAL tracks missing from the registry; returns the count."""
+        wal = Path(path) / "wal"
+        if not wal.is_dir():
+            return 0
+        n = 0
+        for f in sorted(wal.glob("*.npz")):
+            track_id = f.stem
+            if track_id in self.uuid_to_row:
+                continue
+            data = np.load(f)
+            self.add_track(track_id, data["h"].astype(np.int64), data["t"])
+            n += 1
+        return n
 
     @classmethod
     def load(cls, path: str | Path) -> "FingerprintIndex":

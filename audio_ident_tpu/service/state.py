@@ -102,12 +102,16 @@ class EngineState:
         self.index_dir = Path(index_dir) if index_dir else None
         if self.index_dir and (self.index_dir / "registry.json").exists():
             self.fp_index = FingerprintIndex.load(self.index_dir)
+            replayed = self.fp_index.wal_replay(self.index_dir)
             logger.info(
-                "loaded fingerprint index: %d tracks, %d postings",
-                self.fp_index.num_tracks, self.fp_index.num_postings,
+                "loaded fingerprint index: %d tracks, %d postings"
+                " (%d replayed from WAL)",
+                self.fp_index.num_tracks, self.fp_index.num_postings, replayed,
             )
         else:
             self.fp_index = FingerprintIndex(max_tracks=max_tracks)
+            if self.index_dir:
+                self.fp_index.wal_replay(self.index_dir)
         self._device_index: DeviceIndex | None = None
         self._tpu = ThreadPoolExecutor(max_workers=1, thread_name_prefix="tpu")
         self._write_lock = asyncio.Lock()
@@ -205,6 +209,8 @@ class EngineState:
                 t = np.asarray(t[0])
                 v = np.asarray(v[0])
                 self.fp_index.add_track(track_id, h, t, v)
+                if self.index_dir:
+                    self.fp_index.wal_append(self.index_dir, track_id, h[v], t[v])
                 return int(v.sum())
 
         async with self._write_lock:

@@ -29,7 +29,7 @@ from audio_ident_tpu.cpu_reference.fingerprint import fingerprint_np  # noqa: E4
 from audio_ident_tpu.index.match import DeviceIndex, match_device  # noqa: E402
 from audio_ident_tpu.index.store import FingerprintIndex  # noqa: E402
 from audio_ident_tpu.search.exact import ExactLane  # noqa: E402
-from tests.conftest import synth_audio  # noqa: E402
+from audio_ident_tpu.utils.audio_synth import synth_audio  # noqa: E402
 
 
 def build_index(n_tracks: int, n_real: int, seed: int = 0):
@@ -72,12 +72,57 @@ def build_index(n_tracks: int, n_real: int, seed: int = 0):
     return idx, real_audio
 
 
+def bench_ingest(n_tracks: int = 64, seconds: float = 30.0) -> dict:
+    """Bulk-ingest throughput: fingerprint batches on-device + host append
+    (the per-file path the service's batch CLI drives)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_ident_tpu.ops.fingerprint import fingerprint_batch
+
+    sr = spec.SAMPLE_RATE
+    n = int(seconds * sr)
+    budget = spec.max_peaks(n)
+    rng = np.random.default_rng(0)
+    batch = 16
+    idx = FingerprintIndex(max_tracks=1 << 12)
+    x = jax.device_put(rng.standard_normal((batch, n)).astype(np.float32))
+    # warm INCLUDING the readback path, twice (first call compiles)
+    for _ in range(2):
+        h, t, v = (np.asarray(a) for a in fingerprint_batch(x, budget))
+
+    t0 = time.perf_counter()
+    done = 0
+    while done < n_tracks:
+        h, t, v = (np.asarray(a) for a in fingerprint_batch(x, budget))
+        for j in range(batch):
+            idx.add_track(f"{done + j:032x}", h[j].astype(np.int64), t[j], v[j])
+        done += batch
+    idx.flush()
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "ingest_tracks_per_sec_30s",
+        "tracks_per_sec": round(done / dt, 1),
+        "audio_seconds_per_sec": round(done * seconds / dt, 0),
+        "postings": idx.num_postings,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tracks", type=int, default=100_000)
     ap.add_argument("--real", type=int, default=8)
     ap.add_argument("--queries", type=int, default=24)
+    ap.add_argument("--ingest", action="store_true", help="ingest throughput only")
     args = ap.parse_args()
+
+    if args.ingest:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        print(json.dumps(bench_ingest()))
+        return
 
     import jax
 

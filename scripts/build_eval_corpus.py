@@ -31,7 +31,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from audio_ident_tpu.service.audio import decode_wav  # noqa: E402
-from tests.conftest import synth_audio, wav_bytes  # noqa: E402
+from audio_ident_tpu.utils.audio_synth import synth_audio, wav_bytes  # noqa: E402
 
 
 def add_noise_snr(x: np.ndarray, snr_db: float, rng) -> np.ndarray:

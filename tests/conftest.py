@@ -33,27 +33,10 @@ def rng():
     return np.random.default_rng(1234)
 
 
-def synth_audio(rng, seconds: float, sr: int = 16000) -> np.ndarray:
-    """Synthesize deterministic 'musical' audio: sum of decaying tone bursts."""
-    n = int(seconds * sr)
-    t = np.arange(n, dtype=np.float32) / sr
-    x = np.zeros(n, dtype=np.float32)
-    n_notes = max(int(seconds * 6), 4)
-    freqs = rng.uniform(80.0, 5000.0, size=n_notes).astype(np.float32)
-    starts = rng.uniform(0.0, max(seconds - 0.3, 0.05), size=n_notes).astype(np.float32)
-    durs = rng.uniform(0.2, 1.2, size=n_notes).astype(np.float32)
-    amps = rng.uniform(0.1, 0.6, size=n_notes).astype(np.float32)
-    for f0, s0, d0, a0 in zip(freqs, starts, durs, amps):
-        seg = (t >= s0) & (t < s0 + d0)
-        tt = t[seg] - s0
-        x[seg] += a0 * np.exp(-3.0 * tt) * np.sin(2 * np.pi * f0 * tt).astype(np.float32)
-        # add a harmonic for spectral richness
-        x[seg] += 0.4 * a0 * np.exp(-4.0 * tt) * np.sin(2 * np.pi * 2 * f0 * tt).astype(
-            np.float32
-        )
-    x += 0.002 * rng.standard_normal(n).astype(np.float32)
-    peak = np.max(np.abs(x)) or 1.0
-    return (0.7 * x / peak).astype(np.float32)
+from audio_ident_tpu.utils.audio_synth import (  # noqa: E402
+    synth_audio,
+    wav_bytes,
+)
 
 
 @pytest.fixture()
@@ -69,19 +52,3 @@ def make_audio(rng):
 def anyio_backend():
     """Async endpoint tests run on asyncio via the anyio pytest plugin."""
     return "asyncio"
-
-
-def wav_bytes(pcm: np.ndarray, sr: int = 16000) -> bytes:
-    """Encode mono float32 PCM as 16-bit WAV (stdlib, like the reference's
-    in-memory WAV synthesis for decode tests — SURVEY.md §4 technique 4)."""
-    import io
-    import wave
-
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(sr)
-        ints = np.round(np.clip(pcm * 32767.0, -32768, 32767)).astype("<i2")
-        w.writeframes(ints.tobytes())
-    return buf.getvalue()

@@ -75,3 +75,22 @@ def test_log_mel_features_match_hf_extractor():
     mask = ref_mel > ref_mel.max() - 60
     rel = np.abs(ours[mask] - ref_mel[mask]) / np.maximum(np.abs(ref_mel[mask]), 1.0)
     assert rel.max() < 1e-3
+
+
+def test_checkpoint_port_roundtrip(tmp_path):
+    """Production path: torch.save a state_dict, load_checkpoint converts it,
+    embeddings match the in-memory port exactly."""
+    import torch
+
+    from audio_ident_tpu.models.clap.port import load_checkpoint
+
+    params, model = init_random_params(SMALL, seed=9)
+    ckpt = tmp_path / "clap_audio.pt"
+    torch.save(model.state_dict(), ckpt)
+    loaded = load_checkpoint(str(ckpt), SMALL)
+
+    rng = np.random.default_rng(5)
+    mel = rng.normal(-20.0, 12.0, (2, 250, SMALL.num_mel_bins)).astype(np.float32)
+    a = np.asarray(audio_embed(params, SMALL, mel))
+    b = np.asarray(audio_embed(loaded, SMALL, mel))
+    np.testing.assert_allclose(a, b, atol=1e-6)

@@ -63,3 +63,43 @@ def test_cli_snapshot(env, capsys):
 def test_cli_rebuild_without_raw(env, capsys):
     os.environ["DATA_ROOT"] = str(env / "empty")
     assert main(["rebuild-index"]) == 1
+
+
+def test_wal_crash_recovery(tmp_path):
+    """Ingests after the last snapshot survive a crash: the WAL replays on
+    the next load (the reference's only recovery is full rebuild-from-raw)."""
+    import numpy as np
+
+    from audio_ident_tpu.cpu_reference.fingerprint import fingerprint_np
+    from audio_ident_tpu.index.store import FingerprintIndex
+    from audio_ident_tpu.cpu_reference.match import match_votes_np
+
+    d = tmp_path / "idx"
+    idx = FingerprintIndex(max_tracks=64)
+    x0 = synth_audio(np.random.default_rng(1), 10.0)
+    h, t, v = fingerprint_np(x0)
+    idx.add_track("00000000-0000-0000-0000-000000000000", h, t, v)
+    idx.save(d)  # snapshot covers track 0
+
+    # post-snapshot ingest goes to the WAL only (simulated crash: no save)
+    x1 = synth_audio(np.random.default_rng(2), 10.0)
+    h1, t1, v1 = fingerprint_np(x1)
+    idx.add_track("00000000-0000-0000-0000-000000000001", h1, t1, v1)
+    idx.wal_append(d, "00000000-0000-0000-0000-000000000001", h1[v1], t1[v1])
+    del idx
+
+    idx2 = FingerprintIndex.load(d)
+    assert idx2.wal_replay(d) == 1
+    assert idx2.num_tracks == 2
+    qh, qt, qv = fingerprint_np(x1[2 * 16000 : 8 * 16000])
+    idx2.flush()
+    res = match_votes_np(
+        qh.astype(np.int64), qt, qv, idx2.offsets, idx2.tracks, idx2.times,
+        idx2.d_hash, idx2.d_track, idx2.d_time, len(idx2.d_hash),
+        idx2.track_valid,
+    )
+    assert res.track[0] == 1  # the WAL-recovered track matches
+
+    # a fresh snapshot absorbs and clears the WAL
+    idx2.save(d)
+    assert not list((d / "wal").glob("*.npz"))
