@@ -39,7 +39,7 @@ def _build_state(settings):
     engine = EngineState(
         max_tracks=settings.max_tracks,
         index_dir=settings.index_dir,
-        compile_cache_dir=settings.storage_root / ".jax_cache",
+        compile_cache_dir=Path(settings.compile_cache).expanduser(),
         vibe_lane=vibe_lane,
         vector_dir=settings.vector_dir,
     )

@@ -121,7 +121,7 @@ async def ingest_bytes(
     from audio_ident_tpu.ops import content_fp
 
     pcm_16k = await asyncio.to_thread(resample_to_16k, decoded.pcm, decoded.sample_rate)
-    cfp = await asyncio.to_thread(content_fp.content_fingerprint_np, pcm_16k)
+    cfp = await engine.content_fingerprint(pcm_16k)
     near = await catalog.a_find_near_duration(
         decoded.duration_seconds, content_fp.spec.CFP_DURATION_TOLERANCE
     )
@@ -211,6 +211,7 @@ async def ingest_directory(
         p for p in root.rglob("*") if p.suffix.lower() in AUDIO_EXTENSIONS
     )
     report = BatchReport(total=len(files))
+    engine.defer_rewarm = True  # one re-warm at the end, not per capacity crossing
     for p in files:
         try:
             data = await asyncio.to_thread(p.read_bytes)
@@ -227,5 +228,9 @@ async def ingest_directory(
             report.duplicates += 1
         else:
             report.errors.append((str(p), outcome.error_message or "unknown error"))
+    engine.defer_rewarm = False
+    await asyncio.get_running_loop().run_in_executor(
+        engine._tpu, engine._rewarm_if_grown
+    )
     await engine.snapshot()
     return report

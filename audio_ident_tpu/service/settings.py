@@ -38,6 +38,9 @@ class Settings(BaseModel):
 
     # storage
     data_root: str = "./data"
+    # XLA compile cache is machine-global (programs are data-independent;
+    # a per-deployment cache forces minutes of recompiles on first boot)
+    compile_cache: str = "~/.cache/audio-ident-tpu/xla"
     # catalog db file lives under data_root unless overridden
     catalog_path: str | None = None
     index_path: str | None = None  # fingerprint index snapshot dir

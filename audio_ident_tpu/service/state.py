@@ -115,6 +115,7 @@ class EngineState:
         self._device_index: DeviceIndex | None = None
         self._tpu = ThreadPoolExecutor(max_workers=1, thread_name_prefix="tpu")
         self._write_lock = asyncio.Lock()
+        self.defer_rewarm = False  # batch ingest sets this (see above)
 
         # multi-chip: shard the index over a device mesh (MESH_SHARDS > 1)
         self.mesh = None
@@ -218,9 +219,38 @@ class EngineState:
         # Growing postings can cross a pow2 capacity boundary, changing the
         # device-mirror shapes: the next query would then eat a fresh XLA
         # compile and blow its 3 s budget (measured as a 504 in production
-        # driving).  Re-warm in the background on the TPU thread.
-        asyncio.get_running_loop().run_in_executor(self._tpu, self._rewarm_if_grown)
+        # driving).  Re-warm in the background on the TPU thread — but NOT
+        # during batch ingest, where every crossing would trigger 7 slow
+        # compiles that block the device queue (the batch driver re-warms
+        # once at the end via defer_rewarm).
+        if not self.defer_rewarm:
+            asyncio.get_running_loop().run_in_executor(
+                self._tpu, self._rewarm_if_grown
+            )
         return result
+
+    async def content_fingerprint(self, pcm_16k: np.ndarray) -> np.ndarray:
+        """Dedup robust-hash on device (the float64 NumPy golden takes
+        seconds per 30 s file on this host's single core)."""
+
+        def work() -> np.ndarray:
+            import jax
+
+            from audio_ident_tpu import spec as sp
+            from audio_ident_tpu.ops.content_fp import (
+                _num_frames,
+                content_fingerprint_jax,
+            )
+
+            n = ingest_bucket_samples(len(pcm_16k))
+            padded = np.zeros(n, dtype=np.float32)
+            m = min(len(pcm_16k), n)
+            padded[:m] = pcm_16k[:m]
+            fp = np.asarray(jax.jit(content_fingerprint_jax)(padded))
+            true_words = max(_num_frames(len(pcm_16k)) - 1, 0)
+            return fp[:true_words].astype(np.uint32)
+
+        return await self._run(work)
 
     def _rewarm_if_grown(self) -> None:
         try:
