@@ -66,3 +66,57 @@ def test_report_verdicts():
     mid = dict(good, top1_noisy=0.5)  # miss a target, above the floor
     r = build_report(mid, None, None)
     assert "CONDITIONAL-GO" in r
+
+
+def test_eval_vibe_script(ingested_library, tmp_path, monkeypatch):
+    """eval_vibe end-to-end with a small random CLAP injected: self-retrieval
+    of degraded clips of ingested tracks yields a meaningful MRR."""
+    import scripts.eval_vibe as ev
+    from audio_ident_tpu.models.clap.htsat import ClapAudioConfig
+    from audio_ident_tpu.models.clap.port import init_random_params
+    from audio_ident_tpu.search.vibe import VibeLane
+    from audio_ident_tpu.service.catalog import Catalog
+    from audio_ident_tpu.service.state import EngineState
+    from scripts.build_eval_corpus import build_corpus
+
+    lib, root = ingested_library
+    small = ClapAudioConfig(
+        spec_size=64, num_mel_bins=16, window_size=4, depths=(2, 2),
+        num_heads=(2, 4), patch_embeds_hidden_size=16, hidden_size=32,
+        projection_dim=32,
+    )
+    params, _ = init_random_params(small, seed=21)
+    lane = VibeLane(params, small, threshold=0.0)
+
+    # embed the already-ingested library into a vector store + snapshot
+    settings = load_settings()
+    catalog = Catalog(settings.catalog_file)
+    engine = EngineState(
+        max_tracks=1 << 12, index_dir=settings.index_dir, vibe_lane=lane,
+        vector_dir=settings.vector_dir,
+    )
+    import asyncio
+
+    from audio_ident_tpu.service.audio import decode_wav
+
+    async def embed_all():
+        rows, _t = catalog.list_tracks(page=1, page_size=100)
+        for r in rows:
+            pcm = decode_wav((root / "data" / "raw").joinpath(
+                r.file_hash_sha256[:2], f"{r.file_hash_sha256}.wav"
+            ).read_bytes()).pcm
+            from audio_ident_tpu.service.state import resample_to_48k
+
+            await engine.embed_and_store(r.id, resample_to_48k(pcm, 16000))
+        await engine.snapshot()
+
+    asyncio.run(embed_all())
+
+    corpus = root / "vibe_corpus"
+    build_corpus(lib, corpus, n_clips=4, clip_seconds=10.0, n_negatives=0, seed=3)
+    monkeypatch.setattr(
+        ev, "load_vibe_lane", lambda *a, **k: lane
+    )
+    metrics = ev.evaluate(corpus, settings)
+    assert metrics["num_queries"] == 4
+    assert metrics["mrr"] is not None and metrics["mrr"] >= 0.5
