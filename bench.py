@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -19,6 +20,14 @@ import numpy as np
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    # machine-global compile cache: repeat bench runs skip the multi-minute
+    # cold compile of the batch-2048 pipeline
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path("~/.cache/audio-ident-tpu/xla").expanduser()),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from audio_ident_tpu import spec
     from audio_ident_tpu.ops.fingerprint import fingerprint_jax
