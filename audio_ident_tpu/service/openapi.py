@@ -144,7 +144,19 @@ def build_spec(service_name: str, service_version: str) -> dict[str, Any]:
                     "200": _json_response(S.TrackDetail),
                     "400": _ERR, "404": _ERR,
                 },
-            }
+            },
+            "delete": {
+                "operationId": "deleteTrack",
+                "security": [{"AdminKey": []}],
+                "parameters": [
+                    {"name": "id", "in": "path", "required": True,
+                     "schema": {"type": "string", "format": "uuid"}},
+                ],
+                "responses": {
+                    "204": {"description": "track removed (blob retained)"},
+                    "400": _ERR, "403": _ERR, "404": _ERR,
+                },
+            },
         },
         "/api/v1/tracks/{id}/audio": {
             "get": {

@@ -349,3 +349,34 @@ async def test_debug_spans_endpoint(client):
     # admin-gated
     r = await client.get("/api/v1/debug/spans")
     assert r.status_code == 403
+
+
+async def test_delete_track(client):
+    pcm = synth_audio(np.random.default_rng(97), 12.0, 16000)
+    r = await _ingest(client, wav_bytes(pcm), name="doomed.wav")
+    tid = r.json()["track_id"]
+
+    # pre-delete: it matches
+    clip = wav_bytes(pcm[2 * 16000 : 9 * 16000])
+    r = await client.post(
+        "/api/v1/search", files={"audio": ("c.wav", clip, "audio/wav")},
+        data={"mode": "exact"},
+    )
+    assert r.json()["exact_matches"][0]["track"]["id"] == tid
+
+    # admin-gated
+    r = await client.delete(f"/api/v1/tracks/{tid}")
+    assert r.status_code == 403
+    r = await client.delete(f"/api/v1/tracks/{tid}", headers=ADMIN)
+    assert r.status_code == 204
+
+    # gone from catalog and from search
+    assert (await client.get(f"/api/v1/tracks/{tid}")).status_code == 404
+    r = await client.post(
+        "/api/v1/search", files={"audio": ("c.wav", clip, "audio/wav")},
+        data={"mode": "exact"},
+    )
+    assert all(m["track"]["id"] != tid for m in r.json()["exact_matches"])
+
+    r = await client.delete(f"/api/v1/tracks/{tid}", headers=ADMIN)
+    assert r.status_code == 404  # idempotent-ish: second delete is NOT_FOUND
