@@ -46,8 +46,13 @@ class Settings(BaseModel):
     index_path: str | None = None  # fingerprint index snapshot dir
     vector_path: str | None = None  # embedding store snapshot dir
 
-    # auth (fail-closed like the reference: app/auth/admin.py:17-29)
+    # auth (fail-closed like the reference: app/auth/admin.py:17-29);
+    # JWT fields feed the unwired token helpers (stub parity with the
+    # reference's app/auth/jwt.py scaffolding)
     admin_api_key: str | None = None
+    jwt_secret: str | None = None
+    jwt_algorithm: str = "HS256"
+    jwt_expire_seconds: int = 3600
 
     # vibe lane / CLAP (reference: app/settings.py:43-48)
     clap_checkpoint: str | None = None  # torch .bin/.pt checkpoint path

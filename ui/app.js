@@ -219,7 +219,19 @@ async function renderTrackDetail(id) {
           <tr><td>ingested</td><td>${t.ingested_at}</td></tr>
         </table>
         <a href="#/tracks">← back</a>
+        <button id="del" class="danger" style="float:right">delete</button>
       </div>`;
+    document.getElementById("del").onclick = async () => {
+      const key = sessionStorage.getItem("adminKey") || prompt("admin key");
+      if (!key) return;
+      sessionStorage.setItem("adminKey", key);
+      try {
+        await api.deleteTrack(id, key);
+        location.hash = "#/tracks";
+      } catch (e) {
+        alert(`delete failed: ${e.message}`);
+      }
+    };
   } catch (e) {
     view.innerHTML = errorBox(e);
   }

@@ -52,6 +52,14 @@ const api = {
     return apiFetch("/api/v1/search", { method: "POST", body: form });
   },
 
+  deleteTrack: (id, adminKey) =>
+    fetch(`${API_BASE}/api/v1/tracks/${id}`, {
+      method: "DELETE",
+      headers: { "X-Admin-Key": adminKey },
+    }).then((r) => {
+      if (!r.ok) throw new ApiRequestError(r.status, "DELETE_FAILED", `HTTP ${r.status}`);
+    }),
+
   ingestAudio: (file, adminKey) => {
     const form = new FormData();
     form.append("audio", file, file.name);
