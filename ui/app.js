@@ -20,13 +20,22 @@ function el(html) {
   return t.content.firstChild;
 }
 
+/* All server-derived strings (track tags come from uploaded-file metadata, so
+ * they are attacker-controlled) MUST pass through esc() before being placed in
+ * innerHTML. The reference UI gets this for free from Svelte's auto-escaping. */
+function esc(v) {
+  return String(v ?? "").replace(/[&<>"']/g, (c) => (
+    { "&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;", "'": "&#39;" }[c]
+  ));
+}
+
 function fmtDur(s) {
   const m = Math.floor(s / 60), r = Math.round(s % 60);
   return `${m}:${String(r).padStart(2, "0")}`;
 }
 
 function errorBox(e) {
-  return `<div class="error">${e.code ? `[${e.code}] ` : ""}${e.message}</div>`;
+  return `<div class="error">${e.code ? `[${esc(e.code)}] ` : ""}${esc(e.message)}</div>`;
 }
 
 // -- search page ----------------------------------------------------------------
@@ -104,7 +113,7 @@ function renderSearch() {
       recBtn.textContent = "■ Stop";
       draw();
     } catch (e) {
-      status.innerHTML = `<div class="error">microphone unavailable: ${e.message}</div>`;
+      status.innerHTML = `<div class="error">microphone unavailable: ${esc(e.message)}</div>`;
     }
   };
   function stopRec() {
@@ -130,7 +139,7 @@ function renderSearch() {
     document.getElementById("results").innerHTML = "";
     try {
       const res = await api.searchAudio(blob, name, { mode: mode() });
-      status.innerHTML = `<small>${res.query_duration_ms} ms · mode ${res.mode_used} · ${res.request_id}</small>`;
+      status.innerHTML = `<small>${Number(res.query_duration_ms)} ms · mode ${esc(res.mode_used)} · ${esc(res.request_id)}</small>`;
       renderResults(res);
       sessionStorage.setItem("lastSearch", JSON.stringify(res));
     } catch (e) {
@@ -154,15 +163,15 @@ function renderResults(res) {
   box.innerHTML =
     lane("Exact matches", res.exact_matches, (m) => `
       <div class="match">
-        <a href="#/tracks/${m.track.id}"><strong>${m.track.title}</strong></a>
-        <span>${m.track.artist ?? ""}</span>
+        <a href="#/tracks/${encodeURIComponent(m.track.id)}"><strong>${esc(m.track.title)}</strong></a>
+        <span>${esc(m.track.artist ?? "")}</span>
         <span class="conf">conf ${(m.confidence * 100).toFixed(0)}%</span>
-        <span class="dim">offset ${m.offset_seconds?.toFixed(1) ?? "?"}s · ${m.aligned_hashes} hashes</span>
+        <span class="dim">offset ${m.offset_seconds?.toFixed(1) ?? "?"}s · ${Number(m.aligned_hashes)} hashes</span>
       </div>`) +
     lane("Vibe matches", res.vibe_matches, (m) => `
       <div class="match">
-        <a href="#/tracks/${m.track.id}"><strong>${m.track.title}</strong></a>
-        <span>${m.track.artist ?? ""}</span>
+        <a href="#/tracks/${encodeURIComponent(m.track.id)}"><strong>${esc(m.track.title)}</strong></a>
+        <span>${esc(m.track.artist ?? "")}</span>
         <span class="conf">sim ${(m.similarity * 100).toFixed(0)}%</span>
       </div>`);
 }
@@ -173,11 +182,12 @@ async function renderTracks(page = 1, search = "") {
   view.innerHTML = `
     <h1>Tracks</h1>
     <div class="controls">
-      <input id="q" placeholder="filter by title or artist" value="${search}">
+      <input id="q" placeholder="filter by title or artist">
     </div>
     <div id="list" class="card">loading…</div>
     <div id="pager" class="controls"></div>`;
   const q = document.getElementById("q");
+  q.value = search; // property assignment, not HTML interpolation
   q.onkeydown = (e) => { if (e.key === "Enter") renderTracks(1, q.value); };
   try {
     const res = await api.fetchTracks({ page, pageSize: 20, search });
@@ -185,16 +195,21 @@ async function renderTracks(page = 1, search = "") {
     list.innerHTML = res.data.length
       ? res.data.map((t) => `
           <div class="match">
-            <a href="#/tracks/${t.id}"><strong>${t.title}</strong></a>
-            <span>${t.artist ?? ""}</span>
+            <a href="#/tracks/${encodeURIComponent(t.id)}"><strong>${esc(t.title)}</strong></a>
+            <span>${esc(t.artist ?? "")}</span>
             <span class="dim">${fmtDur(t.duration_seconds)}</span>
           </div>`).join("")
       : "<p class='dim'>no tracks</p>";
     const { page: p, totalPages } = res.pagination;
-    document.getElementById("pager").innerHTML = `
-      <button ${p <= 1 ? "disabled" : ""} onclick="renderTracks(${p - 1}, '${search}')">prev</button>
-      <span>page ${p} / ${totalPages}</span>
-      <button ${p >= totalPages ? "disabled" : ""} onclick="renderTracks(${p + 1}, '${search}')">next</button>`;
+    const pager = document.getElementById("pager");
+    pager.innerHTML = `
+      <button id="pg-prev" ${p <= 1 ? "disabled" : ""}>prev</button>
+      <span>page ${p} / ${Number(totalPages)}</span>
+      <button id="pg-next" ${p >= totalPages ? "disabled" : ""}>next</button>`;
+    // addEventListener instead of inline-onclick string interpolation: the
+    // search string must never be embedded in executable HTML attributes.
+    document.getElementById("pg-prev").addEventListener("click", () => renderTracks(p - 1, search));
+    document.getElementById("pg-next").addEventListener("click", () => renderTracks(p + 1, search));
   } catch (e) {
     document.getElementById("list").innerHTML = errorBox(e);
   }
@@ -205,18 +220,18 @@ async function renderTrackDetail(id) {
   try {
     const t = await api.fetchTrackDetail(id);
     view.innerHTML = `
-      <h1>${t.title}</h1>
+      <h1>${esc(t.title)}</h1>
       <div class="card">
-        <audio controls preload="metadata" src="${api.trackAudioUrl(id)}"></audio>
+        <audio controls preload="metadata" src="${esc(api.trackAudioUrl(id))}"></audio>
         <table>
-          <tr><td>artist</td><td>${t.artist ?? "—"}</td></tr>
-          <tr><td>album</td><td>${t.album ?? "—"}</td></tr>
+          <tr><td>artist</td><td>${esc(t.artist ?? "—")}</td></tr>
+          <tr><td>album</td><td>${esc(t.album ?? "—")}</td></tr>
           <tr><td>duration</td><td>${fmtDur(t.duration_seconds)}</td></tr>
-          <tr><td>format</td><td>${t.format ?? "—"} · ${t.sample_rate ?? "?"} Hz · ${t.channels ?? "?"}ch</td></tr>
-          <tr><td>sha256</td><td class="mono">${t.file_hash_sha256}</td></tr>
+          <tr><td>format</td><td>${esc(t.format ?? "—")} · ${esc(t.sample_rate ?? "?")} Hz · ${esc(t.channels ?? "?")}ch</td></tr>
+          <tr><td>sha256</td><td class="mono">${esc(t.file_hash_sha256)}</td></tr>
           <tr><td>fingerprinted</td><td>${t.olaf_indexed ? "yes" : "no"}</td></tr>
-          <tr><td>embeddings</td><td>${t.embedding_model ? `${t.embedding_model} (${t.embedding_dim}d)` : "—"}</td></tr>
-          <tr><td>ingested</td><td>${t.ingested_at}</td></tr>
+          <tr><td>embeddings</td><td>${t.embedding_model ? `${esc(t.embedding_model)} (${Number(t.embedding_dim)}d)` : "—"}</td></tr>
+          <tr><td>ingested</td><td>${esc(t.ingested_at)}</td></tr>
         </table>
         <a href="#/tracks">← back</a>
         <button id="del" class="danger" style="float:right">delete</button>
@@ -243,21 +258,22 @@ function renderAdmin() {
   view.innerHTML = `
     <h1>Admin · Ingest</h1>
     <section class="card">
-      <label>admin key <input id="key" type="password" value="${sessionStorage.getItem("adminKey") ?? ""}"></label>
+      <label>admin key <input id="key" type="password"></label>
       <div id="adrop" class="drop">drop / pick audio to ingest
         <input type="file" id="afile" accept="audio/*" multiple>
       </div>
       <div id="alog"></div>
     </section>`;
   const key = document.getElementById("key");
+  key.value = sessionStorage.getItem("adminKey") ?? "";
   const log = document.getElementById("alog");
   const handle = async (files) => {
     sessionStorage.setItem("adminKey", key.value);
     for (const f of files) {
-      log.innerHTML += `<div>ingesting <strong>${f.name}</strong>…</div>`;
+      log.innerHTML += `<div>ingesting <strong>${esc(f.name)}</strong>…</div>`;
       try {
         const r = await api.ingestAudio(f, key.value);
-        log.innerHTML += `<div class="ok">${r.status}: ${r.title} (${r.track_id})</div>`;
+        log.innerHTML += `<div class="ok">${esc(r.status)}: ${esc(r.title)} (${esc(r.track_id)})</div>`;
       } catch (e) {
         log.innerHTML += errorBox(e);
       }
