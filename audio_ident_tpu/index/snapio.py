@@ -1,0 +1,89 @@
+"""Streaming, atomic snapshot container for big NumPy arrays.
+
+Round 1 used ``np.savez_compressed`` (zlib-6) written in place; at the
+1M-track target (~46 GB of postings) that is both too slow (~30 MB/s) and
+unsafe (a crash mid-write leaves a truncated file that fails to load —
+ADVICE.md round 1).  This container:
+
+- streams each array through zstandard (level 3, ~hundreds of MB/s) with
+  bounded peak memory (no whole-buffer copies);
+- writes to ``<name>.tmp`` and ``os.replace``s into place, so a snapshot
+  file is either the old complete one or the new complete one;
+- keeps a JSON header (names, dtypes, shapes) so loads are self-describing.
+
+Format: ``b"AISNAP01" | u32 header_len | header_json | zstd(arrays…)``
+with arrays concatenated in header order as raw C-contiguous bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from pathlib import Path
+
+import numpy as np
+import zstandard
+
+MAGIC = b"AISNAP01"
+_CHUNK = 8 << 20
+
+
+def save_arrays(path: str | Path, arrays: dict[str, np.ndarray], level: int = 3) -> None:
+    """Atomically write ``arrays`` to ``path`` (tmp file + rename)."""
+    path = Path(path)
+    tmp = path.with_name(path.name + ".tmp")
+    header = {
+        name: {"dtype": str(a.dtype), "shape": list(a.shape)}
+        for name, a in arrays.items()
+    }
+    hdr = json.dumps(header).encode("utf-8")
+    cctx = zstandard.ZstdCompressor(level=level)
+    with open(tmp, "wb") as raw:
+        raw.write(MAGIC)
+        raw.write(struct.pack("<I", len(hdr)))
+        raw.write(hdr)
+        with cctx.stream_writer(raw, closefd=False) as zf:
+            for name in header:
+                a = np.ascontiguousarray(arrays[name])
+                mv = memoryview(a.reshape(-1).view(np.uint8))
+                for i in range(0, len(mv), _CHUNK):
+                    zf.write(mv[i : i + _CHUNK])
+        raw.flush()
+        os.fsync(raw.fileno())
+    os.replace(tmp, path)
+
+
+def load_arrays(path: str | Path) -> dict[str, np.ndarray]:
+    path = Path(path)
+    with open(path, "rb") as raw:
+        if raw.read(len(MAGIC)) != MAGIC:
+            raise ValueError(f"{path}: not an AISNAP01 snapshot")
+        (hdr_len,) = struct.unpack("<I", raw.read(4))
+        header = json.loads(raw.read(hdr_len).decode("utf-8"))
+        dctx = zstandard.ZstdDecompressor()
+        out: dict[str, np.ndarray] = {}
+        with dctx.stream_reader(raw) as zf:
+            for name, meta in header.items():
+                dtype = np.dtype(meta["dtype"])
+                shape = tuple(meta["shape"])
+                n = int(np.prod(shape, dtype=np.int64))
+                buf = bytearray(n * dtype.itemsize)
+                view = memoryview(buf)
+                pos = 0
+                while pos < len(buf):
+                    got = zf.read(min(_CHUNK, len(buf) - pos))
+                    if not got:
+                        raise ValueError(f"{path}: truncated array {name}")
+                    view[pos : pos + len(got)] = got
+                    pos += len(got)
+                del view
+                out[name] = np.frombuffer(buf, dtype=dtype).reshape(shape)
+        return out
+
+
+def atomic_write_text(path: str | Path, text: str) -> None:
+    path = Path(path)
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_text(text)
+    os.replace(tmp, path)

@@ -9,23 +9,89 @@ reference: app/routers/ingest.py:49-52):
 - ``add_track`` appends postings to a pending list (cheap);
 - ``flush`` lexsorts pending into the delta (amortized);
 - ``merge_delta`` folds the delta into the main CSR (LSM compaction) and
-  drops tombstoned tracks' postings;
+  drops tombstoned tracks' postings — via a CSR-walking C++ merge that
+  never materializes per-posting hashes for the main run;
 - ``delete_track`` clears a tombstone bit (postings removed at next merge).
 
-Durability: ``save``/``load`` snapshot to an .npz + JSON registry — the
-"checkpoint surface" SURVEY.md §5 calls for (the reference's equivalent is
-rebuild-from-raw, which we also support at the service layer).
+Durability: ``freeze()`` captures an immutable view under the writer lock;
+``write_snapshot`` streams it to disk OUTSIDE the lock (zstd, atomic
+rename, manifest — see snapio.py).  The segmented WAL (wal.py) covers
+everything between snapshots.  The reference's equivalent is
+rebuild-from-raw, which we also support at the service layer.
 """
 
 from __future__ import annotations
 
 import json
 import uuid as uuidlib
+from dataclasses import dataclass
 from pathlib import Path
 
 import numpy as np
 
 from audio_ident_tpu import spec
+from audio_ident_tpu.index import snapio
+
+
+@dataclass
+class IndexSnapshot:
+    """Immutable view captured under the writer lock.  Arrays are the live
+    references — every mutation path REPLACES arrays rather than writing
+    into them (delete_track copies-on-write; add_track only flips True a
+    row beyond this snapshot's registry, which loaders ignore)."""
+
+    offsets: np.ndarray
+    tracks: np.ndarray
+    times: np.ndarray
+    d_hash: np.ndarray
+    d_track: np.ndarray
+    d_time: np.ndarray
+    track_valid: np.ndarray
+    row_to_uuid: list[str]
+    max_tracks: int
+    version: int
+
+
+def write_snapshot(path: str | Path, snap: IndexSnapshot) -> None:
+    """Stream a frozen snapshot to disk (safe to run off-lock).
+
+    Layout: ``index-<version>.snap`` + ``registry-<version>.json``, then an
+    atomically-replaced ``MANIFEST.json`` naming the pair; older
+    generations are garbage-collected after the manifest flips.  A crash at
+    any point leaves either the previous complete snapshot or the new one.
+    """
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    snap_name = f"index-{snap.version:012d}.snap"
+    reg_name = f"registry-{snap.version:012d}.json"
+    snapio.save_arrays(
+        path / snap_name,
+        {
+            "format_version": np.array(spec.FORMAT_VERSION, np.int32),
+            "offsets": snap.offsets,
+            "tracks": snap.tracks,
+            "times": snap.times,
+            "d_hash": snap.d_hash,
+            "d_track": snap.d_track,
+            "d_time": snap.d_time,
+            "track_valid": snap.track_valid,
+        },
+    )
+    snapio.atomic_write_text(
+        path / reg_name,
+        json.dumps({"rows": snap.row_to_uuid, "max_tracks": snap.max_tracks}),
+    )
+    snapio.atomic_write_text(
+        path / "MANIFEST.json",
+        json.dumps({"index": snap_name, "registry": reg_name, "version": snap.version}),
+    )
+    # GC superseded generations (manifest already points at the new pair)
+    for f in path.glob("index-*.snap"):
+        if f.name != snap_name:
+            f.unlink(missing_ok=True)
+    for f in path.glob("registry-*.json"):
+        if f.name != reg_name:
+            f.unlink(missing_ok=True)
 
 
 class FingerprintIndex:
@@ -102,13 +168,21 @@ class FingerprintIndex:
         return row
 
     def delete_track(self, track_id: uuidlib.UUID | str) -> bool:
-        """Tombstone a track (postings dropped at next merge)."""
+        """Tombstone a track (postings removed at next merge).
+
+        Durability of the tombstone is the caller's job: EngineState writes
+        a DELETE record to the WAL before acknowledging (ADVICE r1: an
+        in-memory-only tombstone resurrected deleted tracks after a crash).
+        """
         row = self.uuid_to_row.get(str(track_id))
         if row is None:
             return False
         if not self.track_valid[row]:
             return False
-        self.track_valid[row] = False
+        # copy-on-write so frozen snapshots in flight stay consistent
+        tv = self.track_valid.copy()
+        tv[row] = False
+        self.track_valid = tv
         self.version += 1
         return True
 
@@ -130,14 +204,15 @@ class FingerprintIndex:
     def merge_delta(self) -> None:
         """LSM compaction: delta -> main CSR; drop tombstoned postings.
 
-        Runs the C++ merge kernel when built (both runs are already sorted,
-        so compaction is one linear merge pass instead of a global lexsort).
+        The C++ kernel walks the main run's CSR offsets directly (no
+        per-posting hash materialization — round 1 allocated a
+        HASH_SPACE-repeat int32 array, a multi-GB spike at 1M tracks).
         """
         self.flush()
-        from audio_ident_tpu.utils.native import merge_postings
+        from audio_ident_tpu.utils.native import merge_postings_csr
 
-        r, t, offsets = merge_postings(
-            self._main_hashes(), self.tracks, self.times,
+        r, t, offsets = merge_postings_csr(
+            self.offsets, self.tracks, self.times,
             self.d_hash, self.d_track, self.d_time,
             self.track_valid,
         )
@@ -148,25 +223,13 @@ class FingerprintIndex:
         self.d_time = np.zeros(0, dtype=np.int32)
         self.version += 1
 
-    def _main_hashes(self) -> np.ndarray:
-        """Reconstruct per-posting hashes of the main CSR from offsets."""
-        n = len(self.tracks)
-        if n == 0:
-            return np.zeros(0, dtype=np.int32)
-        counts = np.diff(self.offsets.astype(np.int64))
-        return np.repeat(
-            np.arange(spec.HASH_SPACE, dtype=np.int32), counts
-        )
-
     # -- durability ----------------------------------------------------------
 
-    def save(self, path: str | Path) -> None:
-        path = Path(path)
-        path.mkdir(parents=True, exist_ok=True)
+    def freeze(self) -> IndexSnapshot:
+        """Capture an immutable snapshot view (call under the writer lock;
+        cheap — flushes pending, copies only the registry list)."""
         self.flush()
-        np.savez_compressed(
-            path / "index.npz",
-            format_version=np.int32(spec.FORMAT_VERSION),
+        return IndexSnapshot(
             offsets=self.offsets,
             tracks=self.tracks,
             times=self.times,
@@ -174,46 +237,29 @@ class FingerprintIndex:
             d_track=self.d_track,
             d_time=self.d_time,
             track_valid=self.track_valid,
+            row_to_uuid=list(self.row_to_uuid),
+            max_tracks=self.max_tracks,
+            version=self.version,
         )
-        (path / "registry.json").write_text(
-            json.dumps({"rows": self.row_to_uuid, "max_tracks": self.max_tracks})
-        )
-        # the snapshot now covers everything: drop absorbed WAL entries
-        wal = path / "wal"
-        if wal.is_dir():
-            for f in wal.glob("*.npz"):
-                f.unlink()
 
-    # -- write-ahead log: per-track postings survive crashes between
-    # snapshots (the reference's only recovery is full rebuild-from-raw;
-    # ours replays the WAL on load and falls back to rebuild) ---------------
-
-    def wal_append(self, path: str | Path, track_id: str, hashes, t_anchor) -> None:
-        wal = Path(path) / "wal"
-        wal.mkdir(parents=True, exist_ok=True)
-        np.savez(wal / f"{track_id}.npz", h=np.asarray(hashes, np.int32),
-                 t=np.asarray(t_anchor, np.int32))
-
-    def wal_replay(self, path: str | Path) -> int:
-        """Re-add WAL tracks missing from the registry; returns the count."""
-        wal = Path(path) / "wal"
-        if not wal.is_dir():
-            return 0
-        n = 0
-        for f in sorted(wal.glob("*.npz")):
-            track_id = f.stem
-            if track_id in self.uuid_to_row:
-                continue
-            data = np.load(f)
-            self.add_track(track_id, data["h"].astype(np.int64), data["t"])
-            n += 1
-        return n
+    def save(self, path: str | Path) -> None:
+        """Freeze + write in one call (CLI / tests; the service snapshots
+        off-lock via freeze() + write_snapshot())."""
+        write_snapshot(path, self.freeze())
 
     @classmethod
     def load(cls, path: str | Path) -> "FingerprintIndex":
         path = Path(path)
-        reg = json.loads((path / "registry.json").read_text())
-        data = np.load(path / "index.npz")
+        manifest_path = path / "MANIFEST.json"
+        if manifest_path.exists():
+            manifest = json.loads(manifest_path.read_text())
+            reg = json.loads((path / manifest["registry"]).read_text())
+            data = snapio.load_arrays(path / manifest["index"])
+        elif (path / "index.npz").exists():  # round-1 legacy layout
+            reg = json.loads((path / "registry.json").read_text())
+            data = dict(np.load(path / "index.npz"))
+        else:
+            raise FileNotFoundError(f"no snapshot manifest under {path}")
         if int(data["format_version"]) != spec.FORMAT_VERSION:
             raise ValueError(
                 f"index format {int(data['format_version'])} != {spec.FORMAT_VERSION}; "
@@ -226,7 +272,12 @@ class FingerprintIndex:
         idx.d_hash = data["d_hash"]
         idx.d_track = data["d_track"]
         idx.d_time = data["d_time"]
-        idx.track_valid = data["track_valid"]
+        idx.track_valid = np.array(data["track_valid"], dtype=bool)
         idx.row_to_uuid = list(reg["rows"])
         idx.uuid_to_row = {u: i for i, u in enumerate(idx.row_to_uuid)}
         return idx
+
+
+def snapshot_exists(path: str | Path) -> bool:
+    path = Path(path)
+    return (path / "MANIFEST.json").exists() or (path / "registry.json").exists()

@@ -1,0 +1,218 @@
+"""Segmented write-ahead log for the fingerprint index + vector store.
+
+The reference's only crash recovery is a full rebuild-from-raw
+(reference: Makefile:96-107 `rebuild-index` drops LMDB + Qdrant and
+re-derives both from the blob store).  We add a real WAL so every ingest,
+embedding batch, and delete survives a crash between snapshots.
+
+Design (single-writer, mirroring the reference's ingest lock regime,
+reference: app/routers/ingest.py:49-52):
+
+- Numbered segment files ``wal/00000001.wal`` … — many records per file
+  (the round-1 one-npz-per-track layout hits a directory wall at the
+  1M-track target).  Segments rotate at ``segment_max_bytes``.
+- Record framing: ``magic u32 | body_len u32 | body | crc32(body) u32``.
+  Replay tolerates a truncated or corrupt tail: it stops at the first bad
+  frame and reports how many bytes were dropped, so a crash mid-append
+  never takes the service down.
+- Record types: ADD_FP (track_id, hashes, anchor times), ADD_EMB
+  (track_id, [N,dim] embeddings + chunk offsets), DELETE (track_id) —
+  deletes are durable, not just in-memory tombstones.
+- Snapshot protocol: ``begin_snapshot()`` rotates to a fresh segment and
+  returns the sealed segments the snapshot will absorb; the caller deletes
+  them only after the snapshot write fully succeeds.
+"""
+
+from __future__ import annotations
+
+import logging
+import struct
+import zlib
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_MAGIC = 0xA1D1057A
+_HEADER = struct.Struct("<II")  # magic, body_len
+_CRC = struct.Struct("<I")
+
+ADD_FP = 1
+ADD_EMB = 2
+DELETE = 3
+
+
+@dataclass
+class WalRecord:
+    kind: int
+    track_id: str
+    hashes: np.ndarray | None = None  # ADD_FP: int32[n]
+    times: np.ndarray | None = None  # ADD_FP: int32[n]
+    embeddings: np.ndarray | None = None  # ADD_EMB: float32[n, dim]
+    offsets_sec: np.ndarray | None = None  # ADD_EMB: float32[n]
+
+
+def _encode(rec: WalRecord) -> bytes:
+    tid = rec.track_id.encode("utf-8")
+    parts = [struct.pack("<BH", rec.kind, len(tid)), tid]
+    if rec.kind == ADD_FP:
+        h = np.ascontiguousarray(rec.hashes, np.int32)
+        t = np.ascontiguousarray(rec.times, np.int32)
+        parts += [struct.pack("<I", len(h)), h.tobytes(), t.tobytes()]
+    elif rec.kind == ADD_EMB:
+        e = np.ascontiguousarray(rec.embeddings, np.float32)
+        o = np.ascontiguousarray(rec.offsets_sec, np.float32)
+        parts += [struct.pack("<II", e.shape[0], e.shape[1]), e.tobytes(), o.tobytes()]
+    elif rec.kind != DELETE:
+        raise ValueError(f"unknown WAL record kind {rec.kind}")
+    return b"".join(parts)
+
+
+def _decode(body: bytes) -> WalRecord:
+    kind, tid_len = struct.unpack_from("<BH", body, 0)
+    pos = 3
+    track_id = body[pos : pos + tid_len].decode("utf-8")
+    pos += tid_len
+    if kind == ADD_FP:
+        (n,) = struct.unpack_from("<I", body, pos)
+        pos += 4
+        h = np.frombuffer(body, np.int32, n, pos).copy()
+        pos += 4 * n
+        t = np.frombuffer(body, np.int32, n, pos).copy()
+        return WalRecord(kind, track_id, hashes=h, times=t)
+    if kind == ADD_EMB:
+        n, dim = struct.unpack_from("<II", body, pos)
+        pos += 8
+        e = np.frombuffer(body, np.float32, n * dim, pos).reshape(n, dim).copy()
+        pos += 4 * n * dim
+        o = np.frombuffer(body, np.float32, n, pos).copy()
+        return WalRecord(kind, track_id, embeddings=e, offsets_sec=o)
+    if kind == DELETE:
+        return WalRecord(kind, track_id)
+    raise ValueError(f"unknown WAL record kind {kind}")
+
+
+class WriteAheadLog:
+    """Append-only segmented log.  NOT thread-safe: callers hold the
+    single-writer lock (EngineState._write_lock)."""
+
+    def __init__(self, directory: str | Path, segment_max_bytes: int = 64 << 20):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.segment_max_bytes = segment_max_bytes
+        self._fh = None
+        self._fh_path: Path | None = None
+
+    # -- segments --------------------------------------------------------------
+
+    def _segments(self) -> list[Path]:
+        return sorted(self.dir.glob("*.wal"))
+
+    def _next_seq(self) -> int:
+        segs = self._segments()
+        return (int(segs[-1].stem) + 1) if segs else 1
+
+    def _open_for_append(self) -> None:
+        if self._fh is not None:
+            if self._fh_path.stat().st_size < self.segment_max_bytes:
+                return
+            self._fh.close()
+            self._fh = None
+        segs = self._segments()
+        if segs and segs[-1].stat().st_size < self.segment_max_bytes:
+            self._fh_path = segs[-1]
+        else:
+            self._fh_path = self.dir / f"{self._next_seq():08d}.wal"
+        self._fh = open(self._fh_path, "ab")
+
+    # -- writes ----------------------------------------------------------------
+
+    def append(self, rec: WalRecord) -> None:
+        body = _encode(rec)
+        self._open_for_append()
+        self._fh.write(_HEADER.pack(_MAGIC, len(body)))
+        self._fh.write(body)
+        self._fh.write(_CRC.pack(zlib.crc32(body)))
+        self._fh.flush()
+
+    def append_add(self, track_id: str, hashes, times) -> None:
+        self.append(WalRecord(ADD_FP, track_id, hashes=np.asarray(hashes, np.int32),
+                              times=np.asarray(times, np.int32)))
+
+    def append_emb(self, track_id: str, embeddings, offsets_sec) -> None:
+        self.append(WalRecord(ADD_EMB, track_id,
+                              embeddings=np.asarray(embeddings, np.float32),
+                              offsets_sec=np.asarray(offsets_sec, np.float32)))
+
+    def append_delete(self, track_id: str) -> None:
+        self.append(WalRecord(DELETE, track_id))
+
+    # -- replay ------------------------------------------------------------------
+
+    def replay(self) -> Iterator[WalRecord]:
+        """Yield records across all segments in order.  Stops (with a log
+        line) at the first truncated/corrupt frame — a crash mid-append
+        must not poison recovery of everything before it."""
+        for seg in self._segments():
+            data = seg.read_bytes()
+            pos = 0
+            while pos + _HEADER.size <= len(data):
+                magic, body_len = _HEADER.unpack_from(data, pos)
+                if magic != _MAGIC:
+                    logger.warning("WAL %s: bad magic at %d; stopping replay", seg, pos)
+                    return
+                end = pos + _HEADER.size + body_len + _CRC.size
+                if end > len(data):
+                    logger.warning(
+                        "WAL %s: truncated tail record at %d (%d bytes dropped)",
+                        seg, pos, len(data) - pos,
+                    )
+                    return
+                body = data[pos + _HEADER.size : end - _CRC.size]
+                (crc,) = _CRC.unpack_from(data, end - _CRC.size)
+                if zlib.crc32(body) != crc:
+                    logger.warning("WAL %s: CRC mismatch at %d; stopping replay", seg, pos)
+                    return
+                try:
+                    yield _decode(body)
+                except Exception:  # noqa: BLE001 — skip undecodable, keep going
+                    logger.exception("WAL %s: undecodable record at %d", seg, pos)
+                pos = end
+            if pos < len(data):
+                logger.warning(
+                    "WAL %s: %d trailing bytes ignored", seg, len(data) - pos
+                )
+
+    # -- snapshot protocol -------------------------------------------------------
+
+    def begin_snapshot(self) -> list[Path]:
+        """Seal current segments; new appends go to a fresh segment.
+
+        Returns the sealed segment paths.  Call ``commit_snapshot`` with
+        them ONLY after the snapshot files are durably in place.
+        """
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+        sealed = self._segments()
+        # force the next append into a new segment numbered past the sealed set
+        if sealed:
+            self._fh_path = self.dir / f"{int(sealed[-1].stem) + 1:08d}.wal"
+            self._fh = open(self._fh_path, "ab")
+        return sealed
+
+    @staticmethod
+    def commit_snapshot(sealed: list[Path]) -> None:
+        for p in sealed:
+            try:
+                p.unlink()
+            except FileNotFoundError:
+                pass
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None

@@ -122,7 +122,15 @@ async def _handle_connection(app, reader: asyncio.StreamReader, writer: asyncio.
 
 
 async def serve(app, host: str = "127.0.0.1", port: int = 17010, *, ready: asyncio.Event | None = None):
-    """Run the server until cancelled.  ``ready`` is set once listening."""
+    """Run the server until cancelled or signalled.
+
+    ``ready`` is set once listening.  SIGTERM/SIGINT trigger a GRACEFUL
+    stop so the on_shutdown hooks (engine snapshot!) run — a bare SIGTERM
+    previously killed the process before the snapshot was written, leaving
+    recovery entirely to the WAL.
+    """
+    import signal
+
     for fn in app.on_startup:
         await fn()
     server = await asyncio.start_server(
@@ -135,9 +143,28 @@ async def serve(app, host: str = "127.0.0.1", port: int = 17010, *, ready: async
         app.state["bound_port"] = sockets[0].getsockname()[1]
     if ready is not None:
         ready.set()
+    stop = asyncio.Event()
+    loop = asyncio.get_running_loop()
+    installed: list = []
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            loop.add_signal_handler(sig, stop.set)
+            installed.append(sig)
+        except (NotImplementedError, RuntimeError):  # non-main thread / platform
+            pass
     try:
         async with server:
-            await server.serve_forever()
+            stop_task = asyncio.ensure_future(stop.wait())
+            serve_task = asyncio.ensure_future(server.serve_forever())
+            try:
+                done, pending = await asyncio.wait(
+                    {stop_task, serve_task}, return_when=asyncio.FIRST_COMPLETED
+                )
+            finally:
+                for t in (stop_task, serve_task):
+                    t.cancel()
     finally:
+        for sig in installed:
+            loop.remove_signal_handler(sig)
         for fn in app.on_shutdown:
             await fn()

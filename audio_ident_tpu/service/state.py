@@ -18,8 +18,14 @@ from pathlib import Path
 import numpy as np
 
 from audio_ident_tpu import spec
+from audio_ident_tpu.index import wal as wal_mod
 from audio_ident_tpu.index.match import DeviceIndex
-from audio_ident_tpu.index.store import FingerprintIndex
+from audio_ident_tpu.index.store import (
+    FingerprintIndex,
+    snapshot_exists,
+    write_snapshot,
+)
+from audio_ident_tpu.index.wal import WriteAheadLog
 from audio_ident_tpu.search.exact import ExactCandidate, ExactLane
 
 logger = logging.getLogger(__name__)
@@ -100,18 +106,14 @@ class EngineState:
             jax.config.update("jax_compilation_cache_dir", str(compile_cache_dir))
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         self.index_dir = Path(index_dir) if index_dir else None
-        if self.index_dir and (self.index_dir / "registry.json").exists():
+        if self.index_dir and snapshot_exists(self.index_dir):
             self.fp_index = FingerprintIndex.load(self.index_dir)
-            replayed = self.fp_index.wal_replay(self.index_dir)
             logger.info(
-                "loaded fingerprint index: %d tracks, %d postings"
-                " (%d replayed from WAL)",
-                self.fp_index.num_tracks, self.fp_index.num_postings, replayed,
+                "loaded fingerprint index: %d tracks, %d postings",
+                self.fp_index.num_tracks, self.fp_index.num_postings,
             )
         else:
             self.fp_index = FingerprintIndex(max_tracks=max_tracks)
-            if self.index_dir:
-                self.fp_index.wal_replay(self.index_dir)
         self._device_index: DeviceIndex | None = None
         self._tpu = ThreadPoolExecutor(max_workers=1, thread_name_prefix="tpu")
         self._write_lock = asyncio.Lock()
@@ -147,6 +149,51 @@ class EngineState:
                 )
         else:
             self.vector_store = None
+
+        # one WAL covers fingerprints + embeddings + deletes; replay after
+        # BOTH stores are loaded so every record kind can apply
+        self.wal: WriteAheadLog | None = None
+        if self.index_dir:
+            self.wal = WriteAheadLog(self.index_dir / "wal")
+            n_fp, n_emb, n_del = self._replay_wal()
+            if n_fp or n_emb or n_del:
+                logger.info(
+                    "WAL replay: %d fingerprint adds, %d embedding batches, "
+                    "%d deletes", n_fp, n_emb, n_del,
+                )
+
+    def _replay_wal(self) -> tuple[int, int, int]:
+        """Apply WAL records not yet absorbed by the snapshots (idempotent:
+        adds are skipped for tracks the snapshot already covers)."""
+        n_fp = n_emb = n_del = 0
+        rows_with_vectors = (
+            self.vector_store.rows_present() if self.vector_store is not None else set()
+        )
+        for rec in self.wal.replay():
+            if rec.kind == wal_mod.ADD_FP:
+                if self.fp_index.row_of(rec.track_id) is None:
+                    self.fp_index.add_track(
+                        rec.track_id, rec.hashes.astype(np.int64), rec.times
+                    )
+                    n_fp += 1
+            elif rec.kind == wal_mod.ADD_EMB:
+                row = self.fp_index.row_of(rec.track_id)
+                if (
+                    self.vector_store is not None
+                    and row is not None
+                    and row not in rows_with_vectors
+                    and rec.embeddings.shape[1] == self.vector_store.dim
+                ):
+                    self.vector_store.add_track(row, rec.embeddings, rec.offsets_sec)
+                    rows_with_vectors.add(row)
+                    n_emb += 1
+            elif rec.kind == wal_mod.DELETE:
+                row = self.fp_index.row_of(rec.track_id)
+                if self.fp_index.delete_track(rec.track_id):
+                    n_del += 1
+                    if self.vector_store is not None and row is not None:
+                        self.vector_store.delete_track(row)
+        return n_fp, n_emb, n_del
 
     @property
     def vibe_enabled(self) -> bool:
@@ -210,8 +257,8 @@ class EngineState:
                 t = np.asarray(t[0])
                 v = np.asarray(v[0])
                 self.fp_index.add_track(track_id, h, t, v)
-                if self.index_dir:
-                    self.fp_index.wal_append(self.index_dir, track_id, h[v], t[v])
+                if self.wal is not None:
+                    self.wal.append_add(track_id, h[v], t[v])
                 return int(v.sum())
 
         async with self._write_lock:
@@ -278,16 +325,26 @@ class EngineState:
         """
         assert self.vibe_lane is not None and self.vector_store is not None
 
-        def work() -> int:
+        def embed() -> tuple:
+            return self.vibe_lane.embed_chunks(pcm_48k)
+
+        # The CLAP forward is read-only w.r.t. engine state: run it on the
+        # TPU queue WITHOUT the write lock (round 1 held the lock for the
+        # whole forward, serializing ingest against searches more than the
+        # single-writer regime requires), then take the lock only for the
+        # cheap store append + WAL write.
+        emb, offsets = await self._run(embed)
+        async with self._write_lock:
             row = self.fp_index.row_of(track_id)
             if row is None:
                 raise ValueError(f"track {track_id} not registered")
-            emb, offsets = self.vibe_lane.embed_chunks(pcm_48k)
             self.vector_store.add_track(row, emb, offsets)
-            return len(emb)
-
-        async with self._write_lock:
-            return await self._run(work)
+            if self.wal is not None:
+                # embeddings are WAL-durable too: a crash before the next
+                # snapshot must not silently drop tracks from vibe search
+                # while the catalog row says they are embedded (ADVICE r1)
+                self.wal.append_emb(track_id, emb, offsets)
+        return len(emb)
 
     def _current_device_vectors(self):
         from audio_ident_tpu.vector.search import DeviceVectorIndex
@@ -324,6 +381,10 @@ class EngineState:
             ok = self.fp_index.delete_track(track_id)
             if ok and self.vector_store is not None and row is not None:
                 self.vector_store.delete_track(row)
+            if ok and self.wal is not None:
+                # durable tombstone: without this, WAL replay (or a stale
+                # snapshot) resurrected deleted fingerprints after a crash
+                self.wal.append_delete(track_id)
             return ok
 
     async def warmup(self) -> None:
@@ -347,11 +408,31 @@ class EngineState:
         await self._run(work)
 
     async def snapshot(self) -> None:
+        """Durable snapshot of both stores + WAL truncation.
+
+        The write lock is held only to freeze array references and seal the
+        WAL — the multi-GB compress/write streams OUTSIDE the lock (round 1
+        blocked all ingest for the duration of a 2.3 GB savez).  Sealed WAL
+        segments are deleted only after every snapshot write succeeded.
+        """
         async with self._write_lock:
-            if self.index_dir:
-                await asyncio.to_thread(self.fp_index.save, self.index_dir)
-            if self.vector_dir and self.vector_store is not None:
-                await asyncio.to_thread(self.vector_store.save, self.vector_dir)
+            fp_snap = self.fp_index.freeze() if self.index_dir else None
+            vs_snap = (
+                self.vector_store.freeze()
+                if self.vector_dir and self.vector_store is not None
+                else None
+            )
+            sealed = self.wal.begin_snapshot() if self.wal is not None else []
+        if fp_snap is not None:
+            await asyncio.to_thread(write_snapshot, self.index_dir, fp_snap)
+        if vs_snap is not None:
+            await asyncio.to_thread(
+                self.vector_store.write_snapshot, self.vector_dir, vs_snap
+            )
+        if self.wal is not None:
+            WriteAheadLog.commit_snapshot(sealed)
 
     async def close(self) -> None:
+        if self.wal is not None:
+            self.wal.close()
         self._tpu.shutdown(wait=False)

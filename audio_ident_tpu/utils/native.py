@@ -61,6 +61,14 @@ def native_lib() -> ctypes.CDLL | None:
         i32p, i32p, i64p,
     ]
     lib.ai_merge_postings.restype = ctypes.c_int64
+    if hasattr(lib, "ai_merge_csr"):
+        lib.ai_merge_csr.argtypes = [
+            i64p, i32p, i32p,
+            i32p, i32p, i32p, ctypes.c_int64,
+            u8p, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, i64p,
+        ]
+        lib.ai_merge_csr.restype = ctypes.c_int64
     lib.ai_hamming_batch.argtypes = [
         u32p, ctypes.c_int64, u32p, i64p, ctypes.c_int64, f64p,
     ]
@@ -143,6 +151,46 @@ def merge_postings(
     offsets = np.zeros(spec.HASH_SPACE + 1, np.int64)
     np.cumsum(counts, out=offsets[1:])
     return r.astype(np.int32), t.astype(np.int32), offsets
+
+
+def merge_postings_csr(
+    offsets_a, r_a, t_a, h_b, r_b, t_b, track_valid: np.ndarray
+):
+    """Merge a CSR main run with a sorted delta run, dropping tombstones.
+
+    Unlike ``merge_postings`` this never materializes the main run's
+    per-posting hashes — the C++ kernel walks the CSR offsets bucket by
+    bucket (round-1 compaction spiked multi-GB on the np.repeat rebuild).
+    Returns (tracks, times, offsets[HASH_SPACE+1] int64).
+    """
+    lib = native_lib()
+    n_total = len(r_a) + len(h_b)
+    if (
+        lib is not None
+        and hasattr(lib, "ai_merge_csr")
+        and _check_bounds(np.asarray(r_a), np.asarray(t_a))
+        and _check_bounds(np.asarray(r_b), np.asarray(t_b))
+    ):
+        r_out = np.empty(n_total, np.int32)
+        t_out = np.empty(n_total, np.int32)
+        offsets = np.empty(spec.HASH_SPACE + 1, np.int64)
+        tv = np.ascontiguousarray(track_valid, np.uint8)
+        n = lib.ai_merge_csr(
+            np.ascontiguousarray(offsets_a, np.int64),
+            np.ascontiguousarray(r_a, np.int32),
+            np.ascontiguousarray(t_a, np.int32),
+            np.ascontiguousarray(h_b, np.int32),
+            np.ascontiguousarray(r_b, np.int32),
+            np.ascontiguousarray(t_b, np.int32),
+            len(h_b),
+            tv, len(tv), spec.HASH_SPACE,
+            r_out, t_out, offsets,
+        )
+        return r_out[:n].copy(), t_out[:n].copy(), offsets
+    # NumPy fallback (test scale only): rebuild main hashes from offsets
+    counts = np.diff(np.asarray(offsets_a, np.int64))
+    h_a = np.repeat(np.arange(spec.HASH_SPACE, dtype=np.int32), counts)
+    return merge_postings(h_a, r_a, t_a, h_b, r_b, t_b, track_valid)
 
 
 def hamming_batch(query: np.ndarray, candidates: list[np.ndarray]) -> np.ndarray:

@@ -76,27 +76,63 @@ class VectorStore:
         self.chunk_index = np.concatenate([self.chunk_index] + [p[3] for p in self._pending])
         self._pending.clear()
 
-    # -- durability ------------------------------------------------------------
+    def rows_present(self) -> set[int]:
+        """Track rows that already have stored chunks (WAL-replay dedup)."""
+        rows = set(np.unique(self.track).tolist())
+        for p in self._pending:
+            if len(p[1]):
+                rows.add(int(p[1][0]))
+        return rows
 
-    def save(self, path: str | Path) -> None:
+    # -- durability ------------------------------------------------------------
+    # Atomic snapshot: arrays stream through snapio (zstd + tmp-file rename);
+    # meta.json is replaced last, so a crash mid-save leaves the previous
+    # complete snapshot loadable (ADVICE r1: in-place writes could brick boot).
+
+    def freeze(self) -> dict:
+        """Capture an immutable view (call under the writer lock; every
+        mutation REPLACES arrays, so holding references is safe)."""
+        self.flush()
+        return {
+            "dim": self.dim,
+            "embeddings": self.embeddings,
+            "track": self.track,
+            "offset_sec": self.offset_sec,
+            "chunk_index": self.chunk_index,
+        }
+
+    @staticmethod
+    def write_snapshot(path: str | Path, frozen: dict) -> None:
+        """Stream a frozen view to disk (safe to run off-lock)."""
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
-        self.flush()
-        np.savez_compressed(
-            path / "vectors.npz",
-            format_version=np.int32(FORMAT_VERSION),
-            embeddings=self.embeddings,
-            track=self.track,
-            offset_sec=self.offset_sec,
-            chunk_index=self.chunk_index,
+        from audio_ident_tpu.index import snapio
+
+        snapio.save_arrays(
+            path / "vectors.snap",
+            {
+                "format_version": np.array(FORMAT_VERSION, np.int32),
+                "embeddings": frozen["embeddings"],
+                "track": frozen["track"],
+                "offset_sec": frozen["offset_sec"],
+                "chunk_index": frozen["chunk_index"],
+            },
         )
-        (path / "meta.json").write_text(json.dumps({"dim": self.dim}))
+        snapio.atomic_write_text(path / "meta.json", json.dumps({"dim": frozen["dim"]}))
+
+    def save(self, path: str | Path) -> None:
+        self.write_snapshot(path, self.freeze())
 
     @classmethod
     def load(cls, path: str | Path) -> "VectorStore":
         path = Path(path)
         meta = json.loads((path / "meta.json").read_text())
-        data = np.load(path / "vectors.npz")
+        if (path / "vectors.snap").exists():
+            from audio_ident_tpu.index import snapio
+
+            data = snapio.load_arrays(path / "vectors.snap")
+        else:  # round-1 legacy layout
+            data = dict(np.load(path / "vectors.npz"))
         if int(data["format_version"]) != FORMAT_VERSION:
             raise ValueError("vector store format mismatch; rebuild from raw")
         vs = cls(dim=int(meta["dim"]))

@@ -106,6 +106,44 @@ int64_t ai_merge_postings(
   return out;
 }
 
+// CSR-walking variant of ai_merge_postings: the main run arrives as
+// (offsets, track, time) — its per-posting hash is implied by the bucket
+// being walked, so no hash array is ever materialized for it (round 1
+// rebuilt one with np.repeat: a multi-GB allocation at 1M-track scale).
+// The delta run is (hash, track, time)-sorted as before.
+int64_t ai_merge_csr(
+    const int64_t* offsets_a, const int32_t* r_a, const int32_t* t_a,
+    const int32_t* h_b, const int32_t* r_b, const int32_t* t_b, int64_t n_b,
+    const uint8_t* track_valid, int64_t max_tracks,
+    int64_t hash_space,
+    int32_t* r_out, int32_t* t_out, int64_t* offsets_out) {
+  int64_t ib = 0, out = 0;
+  auto rt = [](uint32_t r, uint32_t t) {
+    return (static_cast<uint64_t>(r) << kTimeBits) | static_cast<uint64_t>(t);
+  };
+  offsets_out[0] = 0;
+  for (int64_t h = 0; h < hash_space; ++h) {
+    int64_t ia = offsets_a[h];
+    const int64_t ea = offsets_a[h + 1];
+    while (ia < ea || (ib < n_b && h_b[ib] == h)) {
+      bool take_a;
+      if (ia >= ea) take_a = false;
+      else if (ib >= n_b || h_b[ib] != h) take_a = true;
+      else take_a = rt(static_cast<uint32_t>(r_a[ia]), static_cast<uint32_t>(t_a[ia])) <=
+                    rt(static_cast<uint32_t>(r_b[ib]), static_cast<uint32_t>(t_b[ib]));
+      int32_t r, t;
+      if (take_a) { r = r_a[ia]; t = t_a[ia]; ++ia; }
+      else        { r = r_b[ib]; t = t_b[ib]; ++ib; }
+      if (r < 0 || r >= max_tracks || !track_valid[r]) continue;
+      r_out[out] = r;
+      t_out[out] = t;
+      ++out;
+    }
+    offsets_out[h + 1] = out;
+  }
+  return out;
+}
+
 // Bitwise similarity of one uint32 fingerprint against n_cand candidates
 // (concatenated, each cand_len words; compares the common prefix of each).
 void ai_hamming_batch(

@@ -37,7 +37,7 @@ def test_cli_ingest_and_rebuild(env, capsys):
     # indexes + catalog now exist; blobs are under raw/
     data = env / "data"
     assert (data / "catalog.sqlite3").exists()
-    assert (data / "fp_index" / "registry.json").exists()
+    assert (data / "fp_index" / "MANIFEST.json").exists()
     assert any((data / "raw").rglob("*.wav"))
 
     # re-ingest: all duplicates
@@ -48,7 +48,7 @@ def test_cli_ingest_and_rebuild(env, capsys):
     assert main(["rebuild-index"]) == 0
     out = capsys.readouterr().out
     assert "ingested=2" in out
-    assert (data / "fp_index" / "registry.json").exists()
+    assert (data / "fp_index" / "MANIFEST.json").exists()
 
 
 def test_cli_snapshot(env, capsys):
@@ -71,8 +71,9 @@ def test_wal_crash_recovery(tmp_path):
     import numpy as np
 
     from audio_ident_tpu.cpu_reference.fingerprint import fingerprint_np
-    from audio_ident_tpu.index.store import FingerprintIndex
     from audio_ident_tpu.cpu_reference.match import match_votes_np
+    from audio_ident_tpu.index.store import FingerprintIndex
+    from audio_ident_tpu.index.wal import WriteAheadLog
 
     d = tmp_path / "idx"
     idx = FingerprintIndex(max_tracks=64)
@@ -82,14 +83,22 @@ def test_wal_crash_recovery(tmp_path):
     idx.save(d)  # snapshot covers track 0
 
     # post-snapshot ingest goes to the WAL only (simulated crash: no save)
+    wal = WriteAheadLog(d / "wal")
     x1 = synth_audio(np.random.default_rng(2), 10.0)
     h1, t1, v1 = fingerprint_np(x1)
     idx.add_track("00000000-0000-0000-0000-000000000001", h1, t1, v1)
-    idx.wal_append(d, "00000000-0000-0000-0000-000000000001", h1[v1], t1[v1])
+    wal.append_add("00000000-0000-0000-0000-000000000001", h1[v1], t1[v1])
+    wal.close()
     del idx
 
     idx2 = FingerprintIndex.load(d)
-    assert idx2.wal_replay(d) == 1
+    wal2 = WriteAheadLog(d / "wal")
+    replayed = 0
+    for rec in wal2.replay():
+        if idx2.row_of(rec.track_id) is None:
+            idx2.add_track(rec.track_id, rec.hashes.astype(np.int64), rec.times)
+            replayed += 1
+    assert replayed == 1
     assert idx2.num_tracks == 2
     qh, qt, qv = fingerprint_np(x1[2 * 16000 : 8 * 16000])
     idx2.flush()
@@ -100,6 +109,8 @@ def test_wal_crash_recovery(tmp_path):
     )
     assert res.track[0] == 1  # the WAL-recovered track matches
 
-    # a fresh snapshot absorbs and clears the WAL
+    # the snapshot protocol seals + absorbs the WAL
+    sealed = wal2.begin_snapshot()
     idx2.save(d)
-    assert not list((d / "wal").glob("*.npz"))
+    WriteAheadLog.commit_snapshot(sealed)
+    assert not any(p.stat().st_size for p in (d / "wal").glob("*.wal"))

@@ -1,0 +1,200 @@
+"""Durability fault-injection: segmented WAL framing, crash-truncated and
+corrupt tails, durable deletes, embedding WAL records, CSR-walking merge,
+and atomic snapshot generations.
+
+The reference has no WAL at all (recovery = rebuild-from-raw,
+reference: Makefile:96-107); these tests pin down the stronger contract
+our engine provides between snapshots.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from audio_ident_tpu.index.store import FingerprintIndex, snapshot_exists
+from audio_ident_tpu.index.wal import ADD_EMB, ADD_FP, DELETE, WriteAheadLog
+from audio_ident_tpu.service.state import EngineState
+
+pytestmark = pytest.mark.anyio
+
+
+def _records(wal: WriteAheadLog) -> list:
+    return list(wal.replay())
+
+
+def test_wal_roundtrip_all_kinds(tmp_path):
+    wal = WriteAheadLog(tmp_path)
+    h = np.arange(100, dtype=np.int32)
+    t = np.arange(100, dtype=np.int32) * 3
+    emb = np.random.default_rng(0).normal(size=(4, 8)).astype(np.float32)
+    off = np.arange(4, dtype=np.float32) * 5.0
+    wal.append_add("track-a", h, t)
+    wal.append_emb("track-a", emb, off)
+    wal.append_delete("track-a")
+    wal.close()
+
+    recs = _records(WriteAheadLog(tmp_path))
+    assert [r.kind for r in recs] == [ADD_FP, ADD_EMB, DELETE]
+    assert all(r.track_id == "track-a" for r in recs)
+    np.testing.assert_array_equal(recs[0].hashes, h)
+    np.testing.assert_array_equal(recs[0].times, t)
+    np.testing.assert_array_equal(recs[1].embeddings, emb)
+    np.testing.assert_array_equal(recs[1].offsets_sec, off)
+
+
+def test_wal_truncated_tail_recovers_prefix(tmp_path):
+    """A crash mid-append leaves a truncated last frame: replay must keep
+    everything before it and stop cleanly."""
+    wal = WriteAheadLog(tmp_path)
+    wal.append_add("t0", np.arange(10, dtype=np.int32), np.arange(10, dtype=np.int32))
+    wal.append_add("t1", np.arange(10, dtype=np.int32), np.arange(10, dtype=np.int32))
+    wal.close()
+    seg = sorted(tmp_path.glob("*.wal"))[0]
+    data = seg.read_bytes()
+    seg.write_bytes(data[:-7])  # chop mid-frame
+
+    recs = _records(WriteAheadLog(tmp_path))
+    assert [r.track_id for r in recs] == ["t0"]
+
+
+def test_wal_corrupt_crc_stops_replay(tmp_path):
+    wal = WriteAheadLog(tmp_path)
+    wal.append_add("t0", np.arange(4, dtype=np.int32), np.arange(4, dtype=np.int32))
+    wal.append_add("t1", np.arange(4, dtype=np.int32), np.arange(4, dtype=np.int32))
+    wal.close()
+    seg = sorted(tmp_path.glob("*.wal"))[0]
+    data = bytearray(seg.read_bytes())
+    data[len(data) // 2] ^= 0xFF  # flip a bit in the second record's body
+    seg.write_bytes(bytes(data))
+
+    recs = _records(WriteAheadLog(tmp_path))
+    assert len(recs) <= 1  # never yields the corrupted record
+
+
+def test_wal_segment_rotation_and_absorb(tmp_path):
+    """Many tracks share few segment files (round 1: one file per track),
+    and the snapshot protocol only deletes sealed segments."""
+    wal = WriteAheadLog(tmp_path, segment_max_bytes=4096)
+    for i in range(50):
+        wal.append_add(f"t{i}", np.arange(64, dtype=np.int32), np.arange(64, dtype=np.int32))
+    segs = sorted(tmp_path.glob("*.wal"))
+    assert 1 < len(segs) < 50  # rotated, but far fewer files than tracks
+
+    sealed = wal.begin_snapshot()
+    wal.append_add("late", np.arange(4, dtype=np.int32), np.arange(4, dtype=np.int32))
+    WriteAheadLog.commit_snapshot(sealed)
+    recs = _records(WriteAheadLog(tmp_path))
+    assert [r.track_id for r in recs] == ["late"]
+    wal.close()
+
+
+async def test_delete_is_crash_durable(tmp_path):
+    """ADVICE r1: a delete that only flips the in-memory tombstone is
+    resurrected by WAL replay after a crash.  Now the DELETE record wins."""
+    idx_dir = tmp_path / "idx"
+    e1 = EngineState(max_tracks=64, index_dir=idx_dir)
+    pcm = np.random.default_rng(3).normal(size=16000 * 6).astype(np.float32) * 0.1
+    await e1.fingerprint_and_index("11111111-0000-0000-0000-000000000000", pcm)
+    assert await e1.delete_track("11111111-0000-0000-0000-000000000000")
+    await e1.close()  # crash: no snapshot
+
+    e2 = EngineState(max_tracks=64, index_dir=idx_dir)
+    row = e2.fp_index.row_of("11111111-0000-0000-0000-000000000000")
+    assert row is not None  # replayed the add...
+    assert not e2.fp_index.track_valid[row]  # ...but the delete stuck
+    await e2.close()
+
+
+async def test_embeddings_are_wal_durable(tmp_path, monkeypatch):
+    """ADVICE r1: embeddings were only persisted at snapshot time; a crash
+    silently dropped tracks from vibe search.  Now ADD_EMB records replay."""
+    from audio_ident_tpu.vector.store import VectorStore
+
+    idx_dir = tmp_path / "idx"
+
+    class FakeVibeLane:
+        class config:
+            projection_dim = 8
+
+        def embed_chunks(self, pcm):
+            emb = np.ones((3, 8), np.float32) / np.sqrt(8)
+            return emb, np.array([0.0, 5.0, 10.0], np.float32)
+
+    e1 = EngineState(
+        max_tracks=64, index_dir=idx_dir,
+        vibe_lane=FakeVibeLane(), vector_dir=tmp_path / "vec",
+    )
+    pcm = np.random.default_rng(4).normal(size=16000 * 6).astype(np.float32) * 0.1
+    tid = "22222222-0000-0000-0000-000000000000"
+    await e1.fingerprint_and_index(tid, pcm)
+    n = await e1.embed_and_store(tid, pcm)
+    assert n == 3
+    await e1.close()  # crash: no snapshot
+
+    e2 = EngineState(
+        max_tracks=64, index_dir=idx_dir,
+        vibe_lane=FakeVibeLane(), vector_dir=tmp_path / "vec",
+    )
+    assert e2.vector_store.num_chunks == 3
+    row = e2.fp_index.row_of(tid)
+    e2.vector_store.flush()
+    assert set(e2.vector_store.track.tolist()) == {row}
+    await e2.close()
+
+
+async def test_snapshot_absorbs_wal_and_is_atomic(tmp_path):
+    idx_dir = tmp_path / "idx"
+    e1 = EngineState(max_tracks=64, index_dir=idx_dir)
+    pcm = np.random.default_rng(5).normal(size=16000 * 6).astype(np.float32) * 0.1
+    await e1.fingerprint_and_index("33333333-0000-0000-0000-000000000000", pcm)
+    await e1.snapshot()
+    # absorbed: replaying the WAL after snapshot yields nothing
+    assert not list(e1.wal.replay())
+    assert snapshot_exists(idx_dir)
+    manifest = json.loads((idx_dir / "MANIFEST.json").read_text())
+    assert (idx_dir / manifest["index"]).exists()
+    assert (idx_dir / manifest["registry"]).exists()
+    # no tmp litter (atomic writes completed)
+    assert not list(idx_dir.glob("*.tmp"))
+    await e1.close()
+
+    e2 = EngineState(max_tracks=64, index_dir=idx_dir)
+    assert e2.fp_index.num_tracks == 1
+    await e2.close()
+
+
+def test_merge_csr_matches_legacy_merge():
+    """The CSR-walking C++ merge must produce exactly the legacy result."""
+    from audio_ident_tpu import spec
+    from audio_ident_tpu.utils.native import merge_postings, merge_postings_csr
+
+    rng = np.random.default_rng(9)
+    idx = FingerprintIndex(max_tracks=32)
+    for i in range(8):
+        n = int(rng.integers(50, 200))
+        h = rng.integers(0, spec.HASH_SPACE, n)
+        t = rng.integers(0, 1 << 12, n)
+        idx.add_track(f"t{i}", h.astype(np.int64), t.astype(np.int32))
+    idx.merge_delta()  # postings now live in the main CSR
+    for i in range(8, 12):
+        n = int(rng.integers(50, 200))
+        h = rng.integers(0, spec.HASH_SPACE, n)
+        t = rng.integers(0, 1 << 12, n)
+        idx.add_track(f"t{i}", h.astype(np.int64), t.astype(np.int32))
+    idx.delete_track("t3")
+    idx.flush()
+
+    counts = np.diff(idx.offsets.astype(np.int64))
+    h_main = np.repeat(np.arange(spec.HASH_SPACE, dtype=np.int32), counts)
+    r_legacy, t_legacy, off_legacy = merge_postings(
+        h_main, idx.tracks, idx.times,
+        idx.d_hash, idx.d_track, idx.d_time, idx.track_valid,
+    )
+    r_csr, t_csr, off_csr = merge_postings_csr(
+        idx.offsets, idx.tracks, idx.times,
+        idx.d_hash, idx.d_track, idx.d_time, idx.track_valid,
+    )
+    np.testing.assert_array_equal(r_csr, r_legacy)
+    np.testing.assert_array_equal(t_csr, t_legacy)
+    np.testing.assert_array_equal(off_csr, off_legacy)
