@@ -5,9 +5,9 @@ oracle); every selection decision is made on quantized int32 keys so that
 TPU float noise (FFT rounding, reduce-window order) almost never flips a
 decision vs the NumPy golden path.  See spec.py for the frozen constants.
 
-This is the vectorized XLA formulation; the fused Pallas front-end kernel
-(ops/pallas_frontend.py) is a drop-in replacement for the
-frames->log-magnitude stage on TPU.
+This is the vectorized XLA formulation; the fully-fused Pallas front-end
+(ops/fused_frontend.py) replaces everything from PCM framing through
+per-frame peak selection with one VMEM-resident grid-tiled kernel on TPU.
 
 TPU-first design notes:
 - all shapes static per duration bucket (spec.QUERY_BUCKETS_SEC);
@@ -268,7 +268,7 @@ def select_peaks_jax(q: jnp.ndarray, budget: int):
 
 def select_from_topkeys(top1: jnp.ndarray, budget: int):
     """Stage 2 from per-frame packed top-P keys [T, P] (shared with the
-    fused Pallas front-end, ops/pallas_frontend.py)."""
+    fused Pallas front-end, ops/fused_frontend.py)."""
     tdim, p = top1.shape
     # key = 1024*q + (1023-f) with 0 <= 1023-f < 1024: Python-style modulo
     # recovers f exactly for negative (masked) q as well
@@ -359,28 +359,14 @@ def fingerprint_jax(
     pcm_16k: jnp.ndarray,
     budget: int,
     use_fft: bool = False,
-    use_pallas: bool = False,
-    pallas_interpret: bool = False,
 ):
     """16 kHz float32 [S] -> (hashes u32 [budget*LK], t_anchor i32, valid).
 
-    Jittable for a static S; batch with ``fingerprint_batch``/vmap.
-    ``use_pallas`` routes salience+peak-selection through the fused VMEM
-    kernel (bit-identical; falls back automatically for long clips).
+    Jittable for a static S; batch with ``fingerprint_batch``/vmap (which
+    also offers the fused Pallas front-end via ``use_pallas=True``).
     """
     frames = frame_signal_jax(pcm_16k)
     logmag = log_magnitude_jax(frames, use_fft=use_fft)
-
-    if use_pallas:
-        from audio_ident_tpu.ops.pallas_frontend import fused_topkeys, supports_fused
-
-        if supports_fused(logmag.shape[0]):
-            top1 = fused_topkeys(logmag, interpret=pallas_interpret)[
-                :, : spec.PEAKS_PER_FRAME_CAP
-            ]
-            t, f, valid = select_from_topkeys(top1, budget)
-            return pair_hashes_jax(t, f, valid)
-
     q = quantized_salience_jax(logmag)
     t, f, valid = select_peaks_jax(q, budget)
     return pair_hashes_jax(t, f, valid)
@@ -396,7 +382,22 @@ def fingerprint_batch(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
 ):
-    """Batched pipeline [B, S] -> (hashes [B, H], t_anchor [B, H], valid)."""
-    return jax.vmap(
-        lambda x: fingerprint_jax(x, budget, use_fft, use_pallas, pallas_interpret)
-    )(pcm_16k)
+    """Batched pipeline [B, S] -> (hashes [B, H], t_anchor [B, H], valid).
+
+    ``use_pallas=True`` routes PCM -> frames -> DFT -> peak keys through the
+    fully-fused grid-tiled VMEM kernel (ops/fused_frontend.py; bit-identical
+    selection, ~10x less HBM traffic); stage 2 + pair hashing stay in XLA.
+    """
+    if use_pallas:
+        from audio_ident_tpu.ops.fused_frontend import fused_topkeys_batch
+
+        keys = fused_topkeys_batch(pcm_16k, interpret=pallas_interpret)
+
+        def one(k):
+            t, f, valid = select_from_topkeys(
+                k[:, : spec.PEAKS_PER_FRAME_CAP], budget
+            )
+            return pair_hashes_jax(t, f, valid)
+
+        return jax.vmap(one)(keys)
+    return jax.vmap(lambda x: fingerprint_jax(x, budget, use_fft))(pcm_16k)

@@ -1,0 +1,215 @@
+"""Fully-fused Pallas front-end: PCM -> frames -> DFT -> peaks, one kernel.
+
+The XLA pipeline materializes every stage in HBM: frames ([B, T, 1024] f32,
+~5 GB at the bench batch), the log-magnitude spectrogram, the quantized
+salience grid, the tie-key grid and two reduce_window pyramids — ~20 GB of
+HBM round trips per 2048-clip batch, against ~2.7 TFLOP of actual MXU work.
+This kernel keeps one (clip, frame-tile) of everything VMEM-resident:
+
+    HBM reads :  hop-blocked PCM  (halo DMA per tile)   ~1.3 GB/batch
+    HBM writes:  per-frame top-P packed keys [T, 128]   ~0.6 GB/batch
+
+Grid is (batch, n_tiles); each program DMAs its PCM window (with a
+``HALO``-frame overlap so box-mean / local-max windows straddling tile
+boundaries see true neighbor values), builds frames by static hop-block
+shifts, runs the windowed-DFT as a single [ROWS, 1024] x [1024, 1024] MXU
+contraction in f32-HIGHEST (load-bearing for hash parity — see
+ops/fingerprint.log_magnitude_jax), then runs the identical salience /
+local-max / per-frame-top-P arithmetic as the XLA path entirely in VMEM.
+
+Bit-parity contract: identical selection decisions to
+``ops.fingerprint.select_peaks_jax`` stage 1 (same quantization, tie keys,
+boundary semantics); stage 2 (``select_from_topkeys``) and pair hashing
+stay in XLA and consume the packed keys directly.
+
+Mosaic notes (v5e backend): no scatter / strided lane slices / 3-D
+reshapes; selection keys are unique per row so iterative masked max ==
+exact top-P; all intermediates are 2-D [ROWS, 512].
+
+Reference lineage: replaces the spectral front-end of the external Olaf
+binary (reference: audio-ident-service/app/audio/fingerprint.py:30-50);
+algorithm spec frozen in audio_ident_tpu/spec.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from audio_ident_tpu import spec
+
+NEG = -(2**31) + 1
+MASKED_KEY = -(1 << 30)
+OUT_LANES = 128          # VMEM lane width; lanes [0, PEAKS_PER_FRAME_CAP) used
+HALO = 8                 # frames of tile overlap (>= 2 * PEAK_TIME_RADIUS + 2)
+MAX_TILE = 512           # frames per grid tile (VMEM budget ~30 MB/program)
+_RATIO = spec.N_FFT // spec.HOP  # 4 hop blocks per frame
+
+
+def plan_tiles(t_total: int) -> tuple[int, int]:
+    """(n_tiles, tile_frames): minimal-waste 8-aligned tiling of T frames."""
+    n_tiles = max(1, -(-t_total // MAX_TILE))
+    tt = -(-t_total // n_tiles)
+    tt = (tt + 7) // 8 * 8
+    return n_tiles, tt
+
+
+@functools.lru_cache(maxsize=1)
+def _dft_bases() -> np.ndarray:
+    from audio_ident_tpu.ops.fingerprint import _dft_bases as _b
+
+    return _b()
+
+
+def _make_kernel(tt: int, t_total: int):
+    rows = tt + 2 * HALO          # frames computed per tile (center + halo)
+    blk = rows + _RATIO + 4       # hop blocks DMA'd (pad to 8-multiple slack)
+    t_r, f_r = spec.PEAK_TIME_RADIUS, spec.PEAK_FREQ_RADIUS
+    fdim = spec.N_BINS
+
+    def kernel(y_hbm, basis_ref, out_ref, y_s, fr_s, sem):
+        i = pl.program_id(1)
+        b = pl.program_id(0)
+        copy = pltpu.make_async_copy(
+            y_hbm.at[b, pl.ds(i * tt, blk), :], y_s, sem
+        )
+        copy.start()
+        copy.wait()
+
+        # frames[r] = concat(y[r], .., y[r+3]): assemble via shifted stores
+        # into a frames scratch (Mosaic relayouts stores; it cannot yet
+        # lane-concat sublane-shifted vectors), then ONE [rows, 1024] x
+        # [1024, 1024] contraction — the same K=1024 accumulation order as
+        # the XLA path, which keeps bit parity of the quantized decisions
+        # (a split-K formulation was measured to flip ~2ppm of hash
+        # decisions on white noise)
+        y = y_s[:]
+        for k in range(_RATIO):
+            fr_s[:, k * spec.HOP : (k + 1) * spec.HOP] = y[k : k + rows]
+        out = jnp.dot(
+            fr_s[:],
+            basis_ref[:],
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [rows, 2 * N_BINS]
+        re = out[:, :fdim]
+        im = out[:, fdim:]
+        mag = jnp.sqrt(re * re + im * im)
+        lm = jnp.log(mag + jnp.float32(spec.LOG_FLOOR))
+
+        gt = i * tt - HALO + jax.lax.broadcasted_iota(jnp.int32, (rows, fdim), 0)
+        fi = jax.lax.broadcasted_iota(jnp.int32, (rows, fdim), 1)
+        in_clip = (gt >= 0) & (gt < t_total)
+        lm = jnp.where(in_clip, lm, jnp.float32(0.0))
+
+        # --- box mean: zero-padded shifted adds / true neighbor count ------
+        # (identical arithmetic to ops.fingerprint._box_mean_jax; rows whose
+        # box window reaches outside the scratch are never consumed — the
+        # HALO leaves 2 rows of slack beyond the local-max reach)
+        xp = jnp.pad(lm, ((t_r, t_r), (0, 0)))
+        st = xp[0:rows]
+        for k in range(1, 2 * t_r + 1):
+            st = st + xp[k : k + rows]
+        sp = jnp.pad(st, ((0, 0), (f_r, f_r)))
+        sf = sp[:, 0:fdim]
+        for k in range(1, 2 * f_r + 1):
+            sf = sf + sp[:, k : k + fdim]
+
+        gtc = jnp.clip(gt, 0, t_total - 1)
+        count_t = (
+            jnp.minimum(gtc + t_r, t_total - 1) - jnp.maximum(gtc - t_r, 0) + 1
+        )
+        count_f = jnp.minimum(fi + f_r, fdim - 1) - jnp.maximum(fi - f_r, 0) + 1
+        mean = sf / jnp.maximum(count_t * count_f, 1).astype(jnp.float32)
+
+        q = jnp.floor((lm - mean) * jnp.float32(spec.SALIENCE_QUANT)).astype(
+            jnp.int32
+        )
+        key = q * 1024 + (gtc % 32) * 32 + (fi % 32)
+        key = jnp.where(in_clip, key, jnp.int32(NEG))
+
+        # --- local max over the same window (shifted max, NEG padding) -----
+        kp = jnp.pad(key, ((t_r, t_r), (0, 0)), constant_values=NEG)
+        mt = kp[0:rows]
+        for k in range(1, 2 * t_r + 1):
+            mt = jnp.maximum(mt, kp[k : k + rows])
+        mp = jnp.pad(mt, ((0, 0), (f_r, f_r)), constant_values=NEG)
+        mf = mp[:, 0:fdim]
+        for k in range(1, 2 * f_r + 1):
+            mf = jnp.maximum(mf, mp[:, k : k + fdim])
+
+        is_peak = (
+            (key == mf)
+            & (fi >= spec.MIN_FREQ_BIN)
+            & (fi <= spec.MAX_FREQ_BIN)
+            & (q > 0)
+            & in_clip
+        )
+        key1 = jnp.where(is_peak, q * 1024 + (1023 - fi), jnp.int32(MASKED_KEY))
+        center = key1[HALO : HALO + tt]
+
+        # --- per-frame top-P by iterative masked max (keys unique per row) -
+        out_lanes = jax.lax.broadcasted_iota(jnp.int32, (tt, OUT_LANES), 1)
+        acc = jnp.full((tt, OUT_LANES), MASKED_KEY, jnp.int32)
+        work = center
+        for p in range(spec.PEAKS_PER_FRAME_CAP):
+            best = jnp.max(work, axis=1, keepdims=True)  # [tt, 1]
+            acc = jnp.where(out_lanes == p, best, acc)
+            work = jnp.where(work == best, jnp.int32(NEG), work)
+        out_ref[0] = acc
+
+    return kernel, rows, blk
+
+
+def fused_topkeys_batch(pcm: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """[B, S] 16 kHz PCM -> [B, n_tiles*TT, 128] packed per-frame top-P keys.
+
+    Rows >= num_frames(S) come out MASKED (q <= 0) and are dropped by
+    stage 2's validity check.  ``interpret=True`` runs the Pallas
+    interpreter (CPU parity tests).
+    """
+    bsz, s = pcm.shape
+    t_total = spec.num_frames(s)
+    assert t_total > 0, "clip shorter than one frame"
+    n_tiles, tt = plan_tiles(t_total)
+    kernel, rows, blk = _make_kernel(tt, t_total)
+
+    # hop-blocked, halo-padded PCM: Y[:, j] = pcm hop block (j - HALO)
+    nb = n_tiles * tt + blk - tt  # max DMA start (n_tiles-1)*tt + blk blocks
+    pad_back = (nb - HALO) * spec.HOP - s
+    y = jnp.pad(pcm, ((0, 0), (HALO * spec.HOP, pad_back))).reshape(
+        bsz, nb, spec.HOP
+    )
+
+    basis = jnp.asarray(_dft_bases())
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, n_tiles),
+        out_shape=jax.ShapeDtypeStruct((bsz, n_tiles * tt, OUT_LANES), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (spec.N_FFT, 2 * spec.N_BINS),
+                lambda b, i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tt, OUT_LANES), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((blk, spec.HOP), jnp.float32),
+            pltpu.VMEM((tt + 2 * HALO, spec.N_FFT), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(y, basis)

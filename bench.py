@@ -3,9 +3,18 @@
 North star (BASELINE.json): >= 10,000 x 10 s clips fingerprinted /sec /chip
 with hash parity vs the CPU reference.  Prints ONE JSON line.
 
-Run on the real TPU (no JAX_PLATFORMS=cpu).  Timing gotcha: through the
-axon tunnel ``block_until_ready`` can return early, so every timed
-iteration ends with a device->host scalar readback.
+Pipeline under test: the fully-fused Pallas front-end (PCM -> frames ->
+DFT -> salience -> peaks in one VMEM-resident kernel,
+audio_ident_tpu/ops/fused_frontend.py) + XLA stage-2 selection and pair
+hashing.  Hash parity vs the NumPy golden is asserted inline on a probe
+clip before timing.
+
+Timing methodology: batches are dispatched back-to-back and synced at the
+end (how a serving ingest queue drives the chip); the tunnel's ~26 ms fixed
+dispatch cost per call overlaps compute instead of serializing with it.
+Every timed iteration's scalar checksum is read back after the loop, which
+forces completion of all launched work (through the axon tunnel,
+``block_until_ready`` alone can return early).
 """
 
 from __future__ import annotations
@@ -30,18 +39,33 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from audio_ident_tpu import spec
-    from audio_ident_tpu.ops.fingerprint import fingerprint_jax
+    from audio_ident_tpu.cpu_reference.fingerprint import fingerprint_np
+    from audio_ident_tpu.ops.fingerprint import fingerprint_batch
+    from audio_ident_tpu.utils.audio_synth import synth_audio
 
     seconds = 10
     samples = seconds * spec.SAMPLE_RATE
     budget = spec.max_peaks(samples)
-    batch = 2048  # large batch amortizes the ~26 ms tunnel dispatch overhead
+    batch = 2048  # large batch amortizes per-dispatch overhead
 
     @jax.jit
     def step(pcm):
-        h, t, v = jax.vmap(lambda x: fingerprint_jax(x, budget))(pcm)
-        # fold to one scalar so the timed readback can't be elided
+        h, t, v = fingerprint_batch(pcm, budget, use_pallas=True)
+        # fold to one scalar so the final readback can't be elided
         return jnp.sum(v.astype(jnp.int32)) + jnp.sum(h.astype(jnp.uint32) & 1)
+
+    # --- inline hash-parity probe vs the NumPy golden -----------------------
+    probe = synth_audio(np.random.default_rng(42), float(seconds))
+    h_d, t_d, v_d = (
+        np.asarray(a)[0]
+        for a in fingerprint_batch(
+            jnp.asarray(probe[None]), budget, use_pallas=True
+        )
+    )
+    h_n, t_n, v_n = fingerprint_np(probe, budget)
+    dev = set(zip(h_d[v_d].tolist(), t_d[v_d].tolist()))
+    gold = set(zip(h_n[v_n].tolist(), t_n[v_n].tolist()))
+    assert dev == gold, f"hash parity broken: {len(dev ^ gold)} differing hashes"
 
     rng = np.random.default_rng(0)
     clips = [
@@ -54,10 +78,10 @@ def main() -> None:
 
     iters = 8
     t0 = time.perf_counter()
-    acc = 0
-    for i in range(iters):
-        acc += int(step(clips[i % 2]))  # scalar readback forces sync
+    outs = [step(clips[i % 2]) for i in range(iters)]
+    acc = sum(int(np.asarray(o)) for o in outs)  # readback syncs everything
     dt = time.perf_counter() - t0
+    assert acc > 0
 
     clips_per_sec = batch * iters / dt
     baseline = 10_000.0  # north-star clips/sec/chip
