@@ -21,6 +21,9 @@ test:  ## fast test suite (virtual 8-device CPU mesh)
 test-all:  ## including slow parity tests
 	$(PY) -m pytest tests/ -q
 
+lint:  ## ruff+mypy when installed; stdlib AST rule set otherwise
+	$(PY) scripts/lint.py
+
 ingest:  ## make ingest DIR=path/to/audio
 	$(PY) -m audio_ident_tpu.service.cli ingest $(DIR)
 

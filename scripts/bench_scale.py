@@ -26,7 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from audio_ident_tpu import spec  # noqa: E402
 from audio_ident_tpu.cpu_reference.fingerprint import fingerprint_np  # noqa: E402
-from audio_ident_tpu.index.match import DeviceIndex, match_device  # noqa: E402
+from audio_ident_tpu.index.match import DeviceIndex  # noqa: E402
 from audio_ident_tpu.index.store import FingerprintIndex  # noqa: E402
 from audio_ident_tpu.search.exact import ExactLane  # noqa: E402
 from audio_ident_tpu.utils.audio_synth import synth_audio  # noqa: E402
@@ -76,7 +76,6 @@ def bench_ingest(n_tracks: int = 64, seconds: float = 30.0) -> dict:
     """Bulk-ingest throughput: fingerprint batches on-device + host append
     (the per-file path the service's batch CLI drives)."""
     import jax
-    import jax.numpy as jnp
 
     from audio_ident_tpu.ops.fingerprint import fingerprint_batch
 

@@ -33,7 +33,7 @@ def rng():
     return np.random.default_rng(1234)
 
 
-from audio_ident_tpu.utils.audio_synth import (  # noqa: E402
+from audio_ident_tpu.utils.audio_synth import (  # noqa: E402, F401 — re-exported to tests
     synth_audio,
     wav_bytes,
 )

@@ -3,8 +3,6 @@ corpus, run the exact-lane eval, and render the go/no-go report (mirrors
 SURVEY.md §4 technique 9: accuracy is tested by the harness, not pytest —
 this test checks the harness itself works end to end)."""
 
-import json
-
 import numpy as np
 import pytest
 

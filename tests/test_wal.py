@@ -109,8 +109,6 @@ async def test_delete_is_crash_durable(tmp_path):
 async def test_embeddings_are_wal_durable(tmp_path, monkeypatch):
     """ADVICE r1: embeddings were only persisted at snapshot time; a crash
     silently dropped tracks from vibe search.  Now ADD_EMB records replay."""
-    from audio_ident_tpu.vector.store import VectorStore
-
     idx_dir = tmp_path / "idx"
 
     class FakeVibeLane:
