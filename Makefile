@@ -10,19 +10,24 @@ SERVICE_URL ?= http://127.0.0.1:17010
 
 .PHONY: dev test test-all lint ingest rebuild-index snapshot bench \
 	eval-corpus eval-exact eval-vibe eval-latency eval-report eval-all \
-	dryrun-multichip native clean-data
+	dryrun-multichip native clean-data gen-api
 
 dev:  ## run the HTTP service
 	$(PY) -m audio_ident_tpu.service
 
+# PALLAS_AXON_POOL_IPS= skips TPU-plugin registration: CPU tests never
+# touch the chip tunnel (and so can run while a bench occupies the chip)
 test:  ## fast test suite (virtual 8-device CPU mesh)
-	$(PY) -m pytest tests/ -q -m "not slow"
+	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu $(PY) -m pytest tests/ -q -m "not slow"
 
 test-all:  ## including slow parity tests
-	$(PY) -m pytest tests/ -q
+	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu $(PY) -m pytest tests/ -q
 
 lint:  ## ruff+mypy when installed; stdlib AST rule set otherwise
 	$(PY) scripts/lint.py
+
+gen-api:  ## regenerate ui/generated.d.ts from the OpenAPI spec
+	$(PY) scripts/gen_api_client.py
 
 ingest:  ## make ingest DIR=path/to/audio
 	$(PY) -m audio_ident_tpu.service.cli ingest $(DIR)

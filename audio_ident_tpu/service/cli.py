@@ -91,6 +91,9 @@ async def _run_snapshot(settings) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
+    from audio_ident_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     parser = argparse.ArgumentParser(prog="audio-ident-tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
     p_ingest = sub.add_parser("ingest", help="batch-ingest a directory")

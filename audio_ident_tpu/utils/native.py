@@ -40,7 +40,15 @@ def build_native() -> bool:
 
 @functools.lru_cache(maxsize=1)
 def native_lib() -> ctypes.CDLL | None:
-    """The loaded library, or None when not built/available."""
+    """The loaded library, or None when not built/available.
+
+    ``AUDIO_IDENT_NO_NATIVE=1`` forces the NumPy fallbacks — the
+    isolation switch for debugging suspected native-memory issues.
+    """
+    import os
+
+    if os.environ.get("AUDIO_IDENT_NO_NATIVE") == "1":
+        return None
     if not _LIB_PATH.exists():
         return None
     try:

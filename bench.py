@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import json
 import time
-from pathlib import Path
 
 import numpy as np
 
@@ -32,11 +31,9 @@ def main() -> None:
 
     # machine-global compile cache: repeat bench runs skip the multi-minute
     # cold compile of the batch-2048 pipeline
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        str(Path("~/.cache/audio-ident-tpu/xla").expanduser()),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from audio_ident_tpu.utils.platform import setup_compile_cache
+
+    setup_compile_cache()
 
     from audio_ident_tpu import spec
     from audio_ident_tpu.cpu_reference.fingerprint import fingerprint_np

@@ -118,15 +118,17 @@ def main() -> None:
     if args.ingest:
         import jax
 
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        from audio_ident_tpu.utils.platform import setup_compile_cache
+
+        setup_compile_cache("/root/repo/.jax_cache_tpu")
         print(json.dumps(bench_ingest()))
         return
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from audio_ident_tpu.utils.platform import setup_compile_cache
+
+    setup_compile_cache("/root/repo/.jax_cache_tpu")
 
     idx, real_audio = build_index(args.tracks, args.real)
     t0 = time.time()

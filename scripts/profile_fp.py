@@ -18,11 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    str(Path("~/.cache/audio-ident-tpu/xla").expanduser()),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from audio_ident_tpu.utils.platform import setup_compile_cache
+
+setup_compile_cache()
 
 from audio_ident_tpu import spec
 from audio_ident_tpu.ops import fingerprint as fp

@@ -8,6 +8,10 @@ Must run before jax is imported anywhere.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Background re-warm compiles segfault XLA:CPU when racing foreground
+# compiles (jaxlib bug; see state._no_bg_rewarm).  Tests call
+# _rewarm_if_grown() synchronously where the behavior matters.
+os.environ.setdefault("AUDIO_IDENT_NO_BG_REWARM", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -21,8 +25,37 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: XLA-CPU sort codegen is slow (~8 s per sort
 # op); caching makes every test run after the first fast.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# host-tagged: XLA:CPU AOT blobs are CPU-feature-specific; loading a cache
+# from a different machine segfaults (see utils/platform.host_cache_tag)
+from audio_ident_tpu.utils.platform import host_cache_tag  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir", f"/root/repo/.jax_cache/{host_cache_tag()}"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# XLA:CPU executable serialization (persistent-cache writes) segfaults
+# when another thread is compiling concurrently (observed twice at the
+# same suite position: a background _rewarm_if_grown writing its cache
+# entry while the foreground test compiled a mesh program; never
+# reproducible in isolation).  Tests run many engines whose executors
+# compile in parallel, so serialize ALL compiles under one lock.  The
+# production TPU path compiles through the remote compiler and never
+# hits XLA:CPU serialization, so this stays test-only.
+import threading  # noqa: E402
+
+from jax._src import compiler as _jax_compiler  # noqa: E402
+
+_compile_lock = threading.RLock()
+_orig_compile_or_get_cached = _jax_compiler.compile_or_get_cached
+
+
+def _serial_compile_or_get_cached(*args, **kwargs):
+    with _compile_lock:
+        return _orig_compile_or_get_cached(*args, **kwargs)
+
+
+_jax_compiler.compile_or_get_cached = _serial_compile_or_get_cached
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -52,3 +85,30 @@ def make_audio(rng):
 def anyio_backend():
     """Async endpoint tests run on asyncio via the anyio pytest plugin."""
     return "asyncio"
+
+
+@pytest.fixture(autouse=True)
+def _drain_engines(monkeypatch):
+    """Close every EngineState created in a test at teardown.
+
+    The httpx ASGITransport client never runs app lifespan, so app
+    _shutdown (and engine.close) never fires in tests; engines then leak
+    their executor threads, whose background re-warm compiles keep
+    running during LATER tests — and XLA:CPU's persistent-cache
+    serialize segfaulted the whole suite from exactly such a zombie
+    thread.  Track instances, drain their executors synchronously.
+    """
+    from audio_ident_tpu.service.state import EngineState
+
+    created = []
+    orig_init = EngineState.__init__
+
+    def tracking_init(self, *args, **kwargs):
+        orig_init(self, *args, **kwargs)
+        created.append(self)
+
+    monkeypatch.setattr(EngineState, "__init__", tracking_init)
+    yield
+    for engine in created:
+        engine._closed = True
+        engine._tpu.shutdown(wait=True, cancel_futures=True)
