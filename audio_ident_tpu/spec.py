@@ -68,9 +68,16 @@ DF_SHIFT = 7
 DF_BIAS = 128
 
 # --- Matching / vote histogram ------------------------------------------------
-OFFSET_BIN_FRAMES = 8         # histogram bin = 8 frames = 0.128 s
-OFFSET_BIN_NEG = 16           # bins reserved for slightly-negative offsets
-MAX_OFFSET_BINS = 16_384      # per-track offset bins (covers 30 min tracks)
+# Alignment granularity is QUERY-TIME semantics (not part of the persisted
+# format): bin = 1 frame + adjacent-bin window = votes agree within ±1 frame
+# (16 ms), the Wang-2003 tight alignment.  The original 8-frame (0.128 s)
+# bins let degraded non-member clips scrape MIN_ALIGNED_HASHES by chance
+# (measured 27% FPR on hard synthetic negatives); exact-frame alignment
+# kills chance coincidences ~8x while true matches keep their score (peak
+# times jitter by <=1 frame under sub-frame clock offsets).
+OFFSET_BIN_FRAMES = 1         # histogram bin = 1 frame = 16 ms
+OFFSET_BIN_NEG = 128          # frames of negative-offset tolerance (~2 s)
+MAX_OFFSET_BINS = 131_072     # per-track offset bins (covers 30+ min tracks)
 CANDIDATE_TRACKS = 64         # pass-1 preselect width
 PROBE_FANOUT_MAIN = 16        # postings examined per query hash (main CSR)
 PROBE_FANOUT_DELTA = 8        # postings examined per query hash (delta)
