@@ -28,7 +28,14 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from audio_ident_tpu import spec  # noqa: E402
+from audio_ident_tpu.utils.platform import (  # noqa: E402
+    honor_jax_platforms_env,
+    setup_compile_cache,
+)
+
+honor_jax_platforms_env()
+setup_compile_cache()
+
 from audio_ident_tpu.index.match import DeviceIndex  # noqa: E402
 from audio_ident_tpu.index.store import FingerprintIndex  # noqa: E402
 from audio_ident_tpu.search.exact import ExactLane  # noqa: E402
@@ -48,6 +55,24 @@ TARGETS = {
 }
 
 
+def _category(env: str) -> str:
+    """Map fine-grained corpus environments onto the frozen target
+    categories (reference: scripts/eval_exact.py:46-53).  ``noisy`` is
+    moderate noise (>=10 dB SNR — the reference mixed at 10 dB); the
+    harder snr5/snr0 points feed the accuracy-vs-SNR curve but not the
+    frozen target.  Codec round-trips + the browser chain are the
+    browser-capture category; ``mic`` is reported separately (the
+    reference reality-check regime, 40-60% expected)."""
+    if env == "clean":
+        return "clean"
+    if env.startswith("snr"):
+        db = int(env[3:].split("-")[0])
+        return "noisy" if db >= 10 else "noisy_hard"
+    if env == "mic":
+        return "mic"
+    return "browser"  # browser chain + opus/mp3 (real or -sim) round-trips
+
+
 def evaluate(corpus: Path, settings) -> dict:
     catalog = Catalog(settings.catalog_file)
     fp_index = FingerprintIndex.load(settings.index_dir)
@@ -62,6 +87,7 @@ def evaluate(corpus: Path, settings) -> dict:
         rows, _ = catalog.list_tracks(page=page, page_size=100)
 
     per_env_hits: dict[str, list[int]] = {}
+    per_cat_hits: dict[str, list[int]] = {}
     top5_hits: list[int] = []
     offset_errors: list[float] = []
     negatives_total = 0
@@ -70,6 +96,15 @@ def evaluate(corpus: Path, settings) -> dict:
 
     with (corpus / "ground_truth.csv").open() as f:
         gt = list(csv.DictReader(f))
+
+    # warm every query-bucket shape before timing (the service warms at
+    # startup; this direct-engine path must too, or p95 measures compiles)
+    seen_buckets: set[int] = set()
+    for row in gt:
+        n = len(decode_wav((corpus / row["clip"]).read_bytes()).pcm)
+        if n not in seen_buckets:
+            seen_buckets.add(n)
+            lane.search(np.zeros(n, np.float32))
 
     for row in gt:
         pcm = decode_wav((corpus / row["clip"]).read_bytes()).pcm
@@ -86,7 +121,9 @@ def evaluate(corpus: Path, settings) -> dict:
 
         expected = title_to_id.get(row["source"])
         hit1 = bool(result_ids) and result_ids[0] == expected
-        per_env_hits.setdefault(row["environment"], []).append(int(hit1))
+        env = row["environment"]
+        per_env_hits.setdefault(env, []).append(int(hit1))
+        per_cat_hits.setdefault(_category(env), []).append(int(hit1))
         top5_hits.append(int(expected in result_ids))
         if hit1:
             offset_errors.append(
@@ -101,10 +138,23 @@ def evaluate(corpus: Path, settings) -> dict:
     def pct(p):
         return lat_sorted[min(int(p / 100 * len(lat_sorted)), len(lat_sorted) - 1)]
 
+    # accuracy-vs-SNR curve: pooled over noise kinds, one point per SNR
+    snr_curve = {}
+    for env, hits in sorted(per_env_hits.items()):
+        if env.startswith("snr"):
+            db = int(env[3:].split("-")[0])
+            snr_curve.setdefault(db, []).extend(hits)
+    # legacy corpora (round 1) used flat env names; fall back to them
     metrics = {
-        "top1_clean": rate(per_env_hits.get("clean", [])),
-        "top1_noisy": rate(per_env_hits.get("noisy", [])),
-        "top1_browser": rate(per_env_hits.get("browser", [])),
+        "top1_clean": rate(per_cat_hits.get("clean", per_env_hits.get("clean", []))),
+        "top1_noisy": rate(per_cat_hits.get("noisy", per_env_hits.get("noisy", []))),
+        "top1_browser": rate(per_cat_hits.get("browser", per_env_hits.get("browser", []))),
+        "top1_noisy_hard": rate(per_cat_hits.get("noisy_hard", [])),
+        "top1_mic": rate(per_cat_hits.get("mic", [])),
+        "snr_curve": {f"{db}dB": round(rate(h), 4) for db, h in sorted(snr_curve.items())},
+        "per_environment": {
+            env: round(rate(h), 4) for env, h in sorted(per_env_hits.items())
+        },
         "top5_overall": rate(top5_hits),
         "median_offset_error_sec": (
             statistics.median(offset_errors) if offset_errors else None

@@ -60,6 +60,14 @@ def _eval_section(name: str, metrics: dict | None, targets: dict) -> tuple[list[
 
 def build_report(exact: dict | None, vibe: dict | None, latency: dict | None) -> str:
     lines = ["# Evaluation Report", ""]
+    if exact:
+        lines += [
+            f"Library: **{exact.get('num_tracks', '?')} tracks**; "
+            f"corpus: **{exact.get('num_queries', '?')} clips** "
+            "(clean / SNR sweep 20-0 dB over white-pink-babble noise / codec "
+            "round-trips / browser + mic capture chains / degraded negatives).",
+            "",
+        ]
     total_pass = total_fail = 0
     for name, metrics, targets in [
         ("Exact lane", exact, EXACT_TARGETS),
@@ -68,6 +76,28 @@ def build_report(exact: dict | None, vibe: dict | None, latency: dict | None) ->
     ]:
         sec, p, f = _eval_section(name, metrics, targets)
         lines += sec
+        if name == "Exact lane" and metrics:
+            if metrics.get("snr_curve"):
+                lines += ["Accuracy vs SNR (top-1, pooled noise kinds):", ""]
+                curve = metrics["snr_curve"]
+                lines.append("| " + " | ".join(curve) + " |")
+                lines.append("|" + "---|" * len(curve))
+                lines.append(
+                    "| " + " | ".join(f"{v:.3f}" for v in curve.values()) + " |"
+                )
+                lines.append("")
+            if metrics.get("per_environment"):
+                lines += ["Top-1 by environment:", ""]
+                lines.append("| environment | top-1 |")
+                lines.append("|---|---|")
+                for env, v in metrics["per_environment"].items():
+                    lines.append(f"| {env} | {v:.3f} |")
+                for extra in ("top1_noisy_hard", "top1_mic"):
+                    if metrics.get(extra) is not None:
+                        lines.append(f"| {extra} (no frozen target) | {metrics[extra]:.3f} |")
+                lines.append("")
+        if name == "Vibe lane" and metrics and metrics.get("provenance"):
+            lines += [f"Provenance: {metrics['provenance']}", ""]
         total_pass += p
         total_fail += f
 

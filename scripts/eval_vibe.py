@@ -23,6 +23,14 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from audio_ident_tpu.utils.platform import (  # noqa: E402
+    honor_jax_platforms_env,
+    setup_compile_cache,
+)
+
+honor_jax_platforms_env()
+setup_compile_cache()
+
 from audio_ident_tpu.index.store import FingerprintIndex  # noqa: E402
 from audio_ident_tpu.service.audio import decode_wav  # noqa: E402
 from audio_ident_tpu.service.catalog import Catalog  # noqa: E402
@@ -76,6 +84,15 @@ def evaluate(corpus: Path, settings) -> dict:
         "mrr": sum(rr) / len(rr) if rr else None,
         "ndcg_at_5": sum(ndcg) / len(ndcg) if ndcg else None,
         "num_queries": len(gt),
+        "provenance": (
+            "CLAP weights: RANDOM-INIT twin — no checkpoint exists in this "
+            "environment; numbers exercise the full pipeline but do NOT "
+            "measure retrieval quality (VERDICT r1 item 2 environment "
+            "limitation). Swap in a real checkpoint via CLAP_CHECKPOINT "
+            "and re-run scripts/calibrate_vibe_threshold.py."
+            if settings.clap_random_init
+            else f"CLAP checkpoint: {settings.clap_checkpoint}"
+        ),
     }
     catalog.close()
     return metrics

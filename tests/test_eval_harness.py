@@ -32,7 +32,7 @@ def ingested_library(tmp_path, monkeypatch):
 def test_eval_pipeline_end_to_end(ingested_library, tmp_path):
     lib, root = ingested_library
     corpus = root / "corpus"
-    gt = build_corpus(lib, corpus, n_clips=6, clip_seconds=8.0, n_negatives=2, seed=1)
+    gt = build_corpus(lib, corpus, n_clips=6, n_negatives=2, seed=1)
     assert gt.exists()
     assert len(list(corpus.glob("*.wav"))) == 8
 
@@ -111,7 +111,7 @@ def test_eval_vibe_script(ingested_library, tmp_path, monkeypatch):
     asyncio.run(embed_all())
 
     corpus = root / "vibe_corpus"
-    build_corpus(lib, corpus, n_clips=4, clip_seconds=10.0, n_negatives=0, seed=3)
+    build_corpus(lib, corpus, n_clips=4, n_negatives=0, seed=3)
     monkeypatch.setattr(
         ev, "load_vibe_lane", lambda *a, **k: lane
     )
