@@ -12,6 +12,7 @@ from audio_ident_tpu.parallel.sharded_index import (
     ShardedDeviceIndex,
     make_index_mesh,
     sharded_match,
+    sharded_match_batch,
 )
 from audio_ident_tpu.parallel.sharded_vectors import (
     ShardedVectorIndex,
@@ -24,5 +25,6 @@ __all__ = [
     "init_distributed",
     "make_index_mesh",
     "sharded_match",
+    "sharded_match_batch",
     "sharded_vector_topk",
 ]

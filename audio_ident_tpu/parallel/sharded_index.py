@@ -122,7 +122,13 @@ jax.tree_util.register_dataclass(
 
 @functools.lru_cache(maxsize=8)
 def _sharded_match_fn(mesh: Mesh):
-    """Compile-cached sharded matcher for a mesh."""
+    """Compile-cached BATCHED sharded matcher for a mesh.
+
+    Queries carry a leading window/batch dim [B, H]: every per-shard probe
+    is vmapped and the vote triples are all_gather-ed once, so a whole
+    request (e.g. the 3 consensus sub-windows) — or several micro-batched
+    requests — costs ONE device dispatch instead of B (round-1 looped
+    per window: ~26 ms tunnel dispatch each, flagged in VERDICT.md)."""
 
     sharded = tuple(P(SHARD_AXIS) for _ in range(8))  # 8 shard-split arrays
 
@@ -136,23 +142,29 @@ def _sharded_match_fn(mesh: Mesh):
     )
     def matcher(q_hash, q_time, q_valid, shards, track_valid):
         offsets, tracks, times, d_hash, d_track, d_time, d_count, hash_base = shards
-        vt, vb, vd = probe_votes_arrays(
-            q_hash, q_time, q_valid,
-            offsets[0], tracks[0], times[0],
-            d_hash[0], d_track[0], d_time[0],
-            d_count[0], track_valid,
-            hash_base=hash_base[0],
-        )
-        vt = jax.lax.all_gather(vt, SHARD_AXIS).reshape(-1)
-        vb = jax.lax.all_gather(vb, SHARD_AXIS).reshape(-1)
-        vd = jax.lax.all_gather(vd, SHARD_AXIS).reshape(-1)
-        return votes_to_result(vt, vb, vd)
+
+        def probe_one(qh, qt, qv):
+            return probe_votes_arrays(
+                qh, qt, qv,
+                offsets[0], tracks[0], times[0],
+                d_hash[0], d_track[0], d_time[0],
+                d_count[0], track_valid,
+                hash_base=hash_base[0],
+            )
+
+        vt, vb, vd = jax.vmap(probe_one)(q_hash, q_time, q_valid)  # [B, V]
+        # gather every shard's votes: [D, B, V] -> per-window [B, D*V]
+        bsz = vt.shape[0]
+        vt = jax.lax.all_gather(vt, SHARD_AXIS).transpose(1, 0, 2).reshape(bsz, -1)
+        vb = jax.lax.all_gather(vb, SHARD_AXIS).transpose(1, 0, 2).reshape(bsz, -1)
+        vd = jax.lax.all_gather(vd, SHARD_AXIS).transpose(1, 0, 2).reshape(bsz, -1)
+        return jax.vmap(votes_to_result)(vt, vb, vd)
 
     return matcher
 
 
-def sharded_match(q_hash, q_time, q_valid, sdi: ShardedDeviceIndex, mesh: Mesh):
-    """Replicated (track[NC], aligned[NC], offset_sec[NC]) over the mesh."""
+def sharded_match_batch(q_hash, q_time, q_valid, sdi: ShardedDeviceIndex, mesh: Mesh):
+    """Batched [B, H] queries -> replicated (track[B, NC], aligned, offset)."""
     shards = (
         sdi.offsets, sdi.tracks, sdi.times,
         sdi.d_hash, sdi.d_track, sdi.d_time, sdi.d_count, sdi.hash_base,
@@ -161,3 +173,14 @@ def sharded_match(q_hash, q_time, q_valid, sdi: ShardedDeviceIndex, mesh: Mesh):
         jnp.asarray(q_hash, jnp.int32), jnp.asarray(q_time, jnp.int32),
         jnp.asarray(q_valid), shards, sdi.track_valid,
     )
+
+
+def sharded_match(q_hash, q_time, q_valid, sdi: ShardedDeviceIndex, mesh: Mesh):
+    """Replicated (track[NC], aligned[NC], offset_sec[NC]) over the mesh."""
+    trk, ali, off = sharded_match_batch(
+        jnp.asarray(q_hash, jnp.int32)[None],
+        jnp.asarray(q_time, jnp.int32)[None],
+        jnp.asarray(q_valid)[None],
+        sdi, mesh,
+    )
+    return trk[0], ali[0], off[0]

@@ -73,6 +73,7 @@ class Settings(BaseModel):
     # TPU
     max_tracks: int = 1 << 20
     mesh_shards: int = 0  # 0 = single device
+    micro_batch: bool = True  # co-batch concurrent exact searches
 
     @property
     def storage_root(self) -> Path:

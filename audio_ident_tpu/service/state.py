@@ -31,6 +31,20 @@ from audio_ident_tpu.search.exact import ExactCandidate, ExactLane
 logger = logging.getLogger(__name__)
 
 
+def _no_bg_rewarm() -> bool:
+    """``AUDIO_IDENT_NO_BG_REWARM=1`` disables the post-ingest background
+    re-warm thread.  The test suite sets it: XLA:CPU segfaults (inside
+    ``backend_compile_and_load`` / executable serialize) when the rewarm
+    thread compiles while the foreground thread runs other programs — a
+    jaxlib bug we can only avoid, not fix.  The rewarm logic itself stays
+    covered by calling ``_rewarm_if_grown()`` synchronously in tests; the
+    TPU serving path (remote compiler) is unaffected and keeps it on.
+    """
+    import os
+
+    return os.environ.get("AUDIO_IDENT_NO_BG_REWARM") == "1"
+
+
 def load_vibe_lane(checkpoint_path: str | None, *, random_init: bool = False):
     """Build a VibeLane from a torch CLAP checkpoint (or a random twin).
 
@@ -103,8 +117,9 @@ class EngineState:
         if compile_cache_dir is not None:
             import jax
 
-            jax.config.update("jax_compilation_cache_dir", str(compile_cache_dir))
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            from audio_ident_tpu.utils.platform import setup_compile_cache
+
+            setup_compile_cache(str(compile_cache_dir))
         self.index_dir = Path(index_dir) if index_dir else None
         if self.index_dir and snapshot_exists(self.index_dir):
             self.fp_index = FingerprintIndex.load(self.index_dir)
@@ -118,6 +133,14 @@ class EngineState:
         self._tpu = ThreadPoolExecutor(max_workers=1, thread_name_prefix="tpu")
         self._write_lock = asyncio.Lock()
         self.defer_rewarm = False  # batch ingest sets this (see above)
+        self._closed = False
+
+        # exact-search micro-batching (see exact_search below)
+        self._exact_pending: list = []
+        self._exact_task: asyncio.Task | None = None
+        self._batched_warm: set[tuple[int, int]] = set()
+        self._warm_thread = None
+        self.dispatch_stats = {"exact_dispatches": 0, "exact_requests": 0}
 
         # multi-chip: shard the index over a device mesh (MESH_SHARDS > 1)
         self.mesh = None
@@ -228,16 +251,142 @@ class EngineState:
     async def _run(self, fn, *args):
         return await asyncio.get_running_loop().run_in_executor(self._tpu, fn, *args)
 
+    # -- exact search with request micro-batching ------------------------------
+    #
+    # Concurrent search requests that share a padded window length ride ONE
+    # device dispatch (the batch dim the sub-window path already proves).
+    # Combining is gated on ``_batched_warm`` — shapes the background AOT
+    # warmer has pushed through the compiler — so a burst never trips a
+    # cold multi-minute compile on the serving path; until a combined
+    # shape is warm, requests dispatch individually (round-1 behavior).
+
+    MAX_MICRO_BATCH_WINDOWS = 4
+
     async def exact_search(
         self, pcm_16k: np.ndarray, max_results: int = 10
     ) -> list[ExactCandidate]:
-        def work() -> list[ExactCandidate]:
-            from audio_ident_tpu.utils.profiling import device_trace, span
+        from audio_ident_tpu.search.exact import prepare_query
 
-            with span("exact_search"), device_trace():
-                return self._current_exact_lane().search(pcm_16k, max_results)
+        prepared = prepare_query(pcm_16k)
+        if prepared is None:
+            return []
+        loop = asyncio.get_running_loop()
+        fut: asyncio.Future = loop.create_future()
+        self._exact_pending.append((prepared, max_results, fut))
+        if self._exact_task is None or self._exact_task.done():
+            self._exact_task = loop.create_task(self._drain_exact_queue())
+        return await fut
 
-        return await self._run(work)
+    def _take_exact_group(self) -> list:
+        """Pop the oldest request plus any same-shape co-batchable ones."""
+        group = [self._exact_pending.pop(0)]
+        n = group[0][0].windows.shape[1]
+        total = group[0][0].windows.shape[0]
+        i = 0
+        while i < len(self._exact_pending):
+            prep = self._exact_pending[i][0]
+            grown = total + prep.windows.shape[0]
+            if (
+                prep.windows.shape[1] == n
+                and grown <= self.MAX_MICRO_BATCH_WINDOWS
+                and (n, grown) in self._batched_warm
+            ):
+                group.append(self._exact_pending.pop(i))
+                total = grown
+            else:
+                i += 1
+        return group
+
+    async def _drain_exact_queue(self) -> None:
+        from audio_ident_tpu.search.exact import raw_candidates, score_candidates
+
+        while self._exact_pending:
+            group = self._take_exact_group()
+            try:
+                results = await self._run(
+                    self._match_group, [g[0] for g in group]
+                )
+            except Exception as exc:  # noqa: BLE001 — propagate per request
+                for _, _, fut in group:
+                    if not fut.done():
+                        fut.set_exception(exc)
+                continue
+            for (prep, max_results, fut), res in zip(group, results):
+                if not fut.done():
+                    fut.set_result(
+                        score_candidates(raw_candidates(res, prep), max_results)
+                    )
+
+    def _match_group(self, prepared_list):
+        from audio_ident_tpu.utils.profiling import device_trace, span
+
+        self.dispatch_stats["exact_dispatches"] += 1
+        self.dispatch_stats["exact_requests"] += len(prepared_list)
+        with span("exact_search"), device_trace():
+            return self._current_exact_lane().match_prepared(prepared_list)
+
+    def start_micro_batch_warm(self) -> None:
+        """AOT-compile co-batched query shapes on a side thread.
+
+        Compilation goes through the chipless remote compiler, so it does
+        NOT occupy the device; it populates the persistent compilation
+        cache, making the TPU thread's first jit call for that shape a
+        fast cache hit.  Shapes land in ``_batched_warm`` as they finish,
+        progressively enabling combining.
+        """
+        import threading
+
+        if self._warm_thread is not None and self._warm_thread.is_alive():
+            return
+        self._warm_thread = threading.Thread(
+            target=self._aot_warm_batched, name="aot-warm", daemon=True
+        )
+        self._warm_thread.start()
+
+    def _aot_warm_batched(self) -> None:
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            if self.mesh is not None:
+                return  # sharded combining not AOT-warmed yet: no combining
+            from audio_ident_tpu.search.exact import _fingerprint_and_match
+
+            for _attempt in range(4):  # restart on mid-warm capacity growth
+                di = self._current_device_index()
+                caps0 = (di.tracks.shape[0], di.d_hash.shape[0])
+
+                def stale() -> bool:
+                    if self._closed:
+                        return True
+                    cur = self._device_index
+                    return cur is not None and (
+                        (cur.tracks.shape[0], cur.d_hash.shape[0]) != caps0
+                    )
+
+                for b in spec.QUERY_BUCKETS_SEC:
+                    if b <= spec.SHORT_CLIP_THRESHOLD_SEC:
+                        continue
+                    n = b * spec.SAMPLE_RATE
+                    budget = spec.max_peaks(n)
+                    for bs in range(2, self.MAX_MICRO_BATCH_WINDOWS + 1):
+                        if stale():
+                            break
+                        with self._no_cpu_cache_writes():
+                            _fingerprint_and_match.lower(
+                                jax.ShapeDtypeStruct((bs, n), jnp.float32), budget, di
+                            ).compile()
+                        self._batched_warm.add((n, bs))
+                    if stale():
+                        break
+                else:
+                    logger.info(
+                        "micro-batch shapes AOT-warmed: %d", len(self._batched_warm)
+                    )
+                    return
+                self._batched_warm.clear()
+        except Exception:  # noqa: BLE001 — warm-up must never break serving
+            logger.exception("micro-batch AOT warm failed")
 
     async def fingerprint_and_index(self, track_id: str, pcm_16k: np.ndarray) -> int:
         """Fingerprint on device and append postings (single-writer)."""
@@ -270,7 +419,7 @@ class EngineState:
         # during batch ingest, where every crossing would trigger 7 slow
         # compiles that block the device queue (the batch driver re-warms
         # once at the end via defer_rewarm).
-        if not self.defer_rewarm:
+        if not self.defer_rewarm and not _no_bg_rewarm():
             asyncio.get_running_loop().run_in_executor(
                 self._tpu, self._rewarm_if_grown
             )
@@ -283,7 +432,6 @@ class EngineState:
         def work() -> np.ndarray:
             import jax
 
-            from audio_ident_tpu import spec as sp
             from audio_ident_tpu.ops.content_fp import (
                 _num_frames,
                 content_fingerprint_jax,
@@ -299,19 +447,53 @@ class EngineState:
 
         return await self._run(work)
 
+    @staticmethod
+    def _no_cpu_cache_writes():
+        """Context: skip persistent-cache WRITES for XLA:CPU compiles.
+
+        Serializing certain XLA:CPU executables (`executable.serialize()`
+        inside the cache write) segfaults deterministically — observed
+        repeatedly from this background-warm thread in the CPU test
+        environment, never on the TPU path (which compiles remotely).
+        Raising the write threshold thread-locally keeps cache READS
+        (warm restarts stay fast where entries exist) while background
+        compiles on CPU never write.  TPU backends are untouched.
+        """
+        import contextlib
+
+        import jax
+
+        if jax.default_backend() != "cpu":
+            return contextlib.nullcontext()
+        from jax._src import config as jax_config  # thread-local State ctx
+
+        return jax_config.persistent_cache_min_compile_time_secs(10**9)
+
     def _rewarm_if_grown(self) -> None:
         try:
+            if self._closed:  # engine torn down: no zombie compiles
+                return
             di = self._current_device_index()
             caps = (di.tracks.shape[0], di.d_hash.shape[0])
             if caps == getattr(self, "_warmed_caps", None):
                 return
             self._warmed_caps = caps
+            # capacity change = new device-mirror shapes: stale co-batched
+            # compiles are useless, stop combining until re-AOT'd
+            self._batched_warm.clear()
+            if self._warm_thread is not None:
+                self.start_micro_batch_warm()
             lane = self._current_exact_lane()
-            lane.search(np.zeros(spec.SUB_WINDOW_BUCKET_SEC * spec.SAMPLE_RATE, np.float32))
-            for b in spec.QUERY_BUCKETS_SEC:
-                if b <= spec.SHORT_CLIP_THRESHOLD_SEC:
-                    continue
-                lane.search(np.zeros(b * spec.SAMPLE_RATE, np.float32))
+            with self._no_cpu_cache_writes():
+                lane.search(
+                    np.zeros(spec.SUB_WINDOW_BUCKET_SEC * spec.SAMPLE_RATE, np.float32)
+                )
+                for b in spec.QUERY_BUCKETS_SEC:
+                    if b <= spec.SHORT_CLIP_THRESHOLD_SEC:
+                        continue
+                    if self._closed:
+                        return
+                    lane.search(np.zeros(b * spec.SAMPLE_RATE, np.float32))
         except Exception:  # noqa: BLE001 — warm-up must never break serving
             logger.exception("background re-warm failed")
 
@@ -433,6 +615,14 @@ class EngineState:
             WriteAheadLog.commit_snapshot(sealed)
 
     async def close(self) -> None:
+        # Drain the executor FOR REAL: shutdown(wait=False) left in-flight
+        # background re-warm compiles running as zombies past teardown —
+        # on XLA:CPU their persistent-cache serialize then segfaulted the
+        # whole process (observed in the r2 test suite).  Cancel queued
+        # work, wait out the in-flight task off the event loop.
+        self._closed = True
         if self.wal is not None:
             self.wal.close()
-        self._tpu.shutdown(wait=False)
+        await asyncio.get_running_loop().run_in_executor(
+            None, lambda: self._tpu.shutdown(wait=True, cancel_futures=True)
+        )

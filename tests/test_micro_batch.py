@@ -1,0 +1,138 @@
+"""Exact-search request micro-batching (EngineState).
+
+Concurrent same-bucket searches must share ONE device dispatch once the
+shape is marked warm, produce identical results to sequential dispatch,
+and fall back to per-request dispatches for un-warmed shapes.  Mirrors the
+reference's concurrency posture (one CLAP semaphore / single-writer Olaf,
+reference: app/search/vibe.py:29-33) upgraded to a batching queue.
+"""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from audio_ident_tpu import spec
+from audio_ident_tpu.service.state import EngineState
+
+from tests.conftest import synth_audio
+
+
+@pytest.fixture()
+def engine(tmp_path):
+    st = EngineState(max_tracks=64, index_dir=tmp_path / "idx")
+    rng = np.random.default_rng(11)
+    clips = [synth_audio(rng, 12.0) for _ in range(3)]
+    for i, c in enumerate(clips):
+        asyncio.run(st.fingerprint_and_index(f"00000000-0000-0000-0000-00000000000{i}", c))
+    # suite-wide AUDIO_IDENT_NO_BG_REWARM=1 keeps the rewarm off the
+    # executor (XLA:CPU segfault avoidance); run it synchronously so the
+    # engine is in the same post-ingest state production reaches
+    st._tpu.submit(st._rewarm_if_grown).result()
+    return st, clips
+
+
+def _mark_all_warm(st: EngineState) -> None:
+    for b in spec.QUERY_BUCKETS_SEC:
+        n = b * spec.SAMPLE_RATE
+        for bs in range(2, st.MAX_MICRO_BATCH_WINDOWS + 1):
+            st._batched_warm.add((n, bs))
+
+
+def test_concurrent_requests_share_dispatch(engine):
+    st, clips = engine
+    _mark_all_warm(st)
+    queries = [c[16000 * 2 : 16000 * 10] for c in clips]  # 8 s -> same bucket
+
+    async def go():
+        return await asyncio.gather(*(st.exact_search(q) for q in queries))
+
+    st.dispatch_stats.update(exact_dispatches=0, exact_requests=0)
+    results = asyncio.run(go())
+    for i, res in enumerate(results):
+        assert res and res[0].track_row == i and res[0].confidence == 1.0
+    assert st.dispatch_stats["exact_requests"] == 3
+    # the first request dispatches alone (queue was empty when it arrived);
+    # the burst behind it must share at least one dispatch
+    assert st.dispatch_stats["exact_dispatches"] < 3
+
+
+def test_unwarmed_shapes_do_not_combine(engine):
+    st, clips = engine
+    assert not st._batched_warm
+    queries = [c[16000 * 2 : 16000 * 10] for c in clips]
+
+    async def go():
+        return await asyncio.gather(*(st.exact_search(q) for q in queries))
+
+    st.dispatch_stats.update(exact_dispatches=0, exact_requests=0)
+    results = asyncio.run(go())
+    assert all(r and r[0].track_row == i for i, r in enumerate(results))
+    assert st.dispatch_stats["exact_dispatches"] == 3
+
+
+def test_batched_results_match_sequential(engine):
+    st, clips = engine
+    queries = [c[16000 * 1 : 16000 * 9] for c in clips]
+    sequential = [asyncio.run(st.exact_search(q)) for q in queries]
+
+    _mark_all_warm(st)
+
+    async def go():
+        return await asyncio.gather(*(st.exact_search(q) for q in queries))
+
+    batched = asyncio.run(go())
+    for seq, bat in zip(sequential, batched):
+        assert [(c.track_row, c.aligned_hashes, c.confidence) for c in seq] == [
+            (c.track_row, c.aligned_hashes, c.confidence) for c in bat
+        ]
+
+
+def test_mixed_buckets_do_not_combine(engine):
+    st, clips = engine
+    _mark_all_warm(st)
+    q_short = clips[0][16000 * 2 : 16000 * 6]   # 4 s  -> sub-window path
+    q_long = clips[1][16000 * 2 : 16000 * 12]   # 10 s -> 12 s bucket
+
+    async def go():
+        return await asyncio.gather(st.exact_search(q_short), st.exact_search(q_long))
+
+    st.dispatch_stats.update(exact_dispatches=0, exact_requests=0)
+    r_short, r_long = asyncio.run(go())
+    assert r_short and r_short[0].track_row == 0
+    assert r_long and r_long[0].track_row == 1
+    assert st.dispatch_stats["exact_dispatches"] == 2
+
+
+def test_aot_warm_enables_combining(engine):
+    st, _ = engine
+    st.start_micro_batch_warm()
+    st._warm_thread.join(timeout=300)
+    assert not st._warm_thread.is_alive()
+    # every co-batchable full-clip shape is now warm
+    expect = {
+        (b * spec.SAMPLE_RATE, bs)
+        for b in spec.QUERY_BUCKETS_SEC
+        if b > spec.SHORT_CLIP_THRESHOLD_SEC
+        for bs in range(2, st.MAX_MICRO_BATCH_WINDOWS + 1)
+    }
+    assert expect <= st._batched_warm
+
+
+def test_rewarm_clears_stale_batched_shapes(engine):
+    """A rewarm that sees NEW device-mirror capacities must clear
+    _batched_warm (stale co-batched compiles) and record the new caps
+    (runs synchronously — background rewarm is disabled under the test
+    env; production runs the same method on the executor)."""
+    st, _clips = engine
+    _mark_all_warm(st)
+    assert st._batched_warm
+    st._warmed_caps = None  # simulate: current capacities never warmed
+    st._tpu.submit(st._rewarm_if_grown).result()
+    assert st._warmed_caps is not None  # caps recorded...
+    assert not st._batched_warm  # ...and stale batched shapes dropped
+
+    # no-op when capacities are unchanged: warm set must survive
+    _mark_all_warm(st)
+    st._tpu.submit(st._rewarm_if_grown).result()
+    assert st._batched_warm
