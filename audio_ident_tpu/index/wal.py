@@ -186,6 +186,45 @@ class WriteAheadLog:
                     "WAL %s: %d trailing bytes ignored", seg, len(data) - pos
                 )
 
+    def scan_valid_bytes(self, seg: Path) -> int:
+        """Byte offset of the end of the last VALID frame in ``seg``."""
+        data = seg.read_bytes()
+        pos = 0
+        while pos + _HEADER.size <= len(data):
+            magic, body_len = _HEADER.unpack_from(data, pos)
+            end = pos + _HEADER.size + body_len + _CRC.size
+            if magic != _MAGIC or end > len(data):
+                break
+            body = data[pos + _HEADER.size : end - _CRC.size]
+            (crc,) = _CRC.unpack_from(data, end - _CRC.size)
+            if zlib.crc32(body) != crc:
+                break
+            pos = end
+        return pos
+
+    def repair_tail(self) -> int:
+        """Truncate the last segment at its last valid frame boundary.
+
+        MUST run after replay, before any new append: a crash leaves a
+        torn tail, and appending past it would write records that every
+        future replay (which stops at the first bad frame) can never
+        reach — silently losing them.  Returns bytes truncated.
+        """
+        segs = self._segments()
+        if not segs:
+            return 0
+        seg = segs[-1]
+        valid = self.scan_valid_bytes(seg)
+        size = seg.stat().st_size
+        if valid == size:
+            return 0
+        logger.warning(
+            "WAL %s: truncating torn tail (%d -> %d bytes)", seg, size, valid
+        )
+        with open(seg, "r+b") as fh:
+            fh.truncate(valid)
+        return size - valid
+
     # -- snapshot protocol -------------------------------------------------------
 
     def begin_snapshot(self) -> list[Path]:

@@ -179,6 +179,10 @@ class EngineState:
         if self.index_dir:
             self.wal = WriteAheadLog(self.index_dir / "wal")
             n_fp, n_emb, n_del = self._replay_wal()
+            # torn tail from a crash mid-append: truncate BEFORE any new
+            # append, or post-crash records land past the bad bytes where
+            # replay (which stops at the first bad frame) never reaches
+            self.wal.repair_tail()
             if n_fp or n_emb or n_del:
                 logger.info(
                     "WAL replay: %d fingerprint adds, %d embedding batches, "

@@ -196,3 +196,59 @@ def test_merge_csr_matches_legacy_merge():
     np.testing.assert_array_equal(r_csr, r_legacy)
     np.testing.assert_array_equal(t_csr, t_legacy)
     np.testing.assert_array_equal(off_csr, off_legacy)
+
+
+def test_repair_tail_makes_post_crash_appends_reachable(tmp_path):
+    """THE torn-tail trap: without repair, appends after a crash land past
+    the bad bytes, where replay (stops at first bad frame) never reaches
+    — silently losing every post-crash ingest until the next snapshot."""
+    wal = WriteAheadLog(tmp_path)
+    wal.append_add("t1", np.arange(50, dtype=np.int32), np.arange(50, dtype=np.int32))
+    wal.append_add("t2", np.arange(60, dtype=np.int32), np.arange(60, dtype=np.int32))
+    wal.close()
+    seg = sorted(tmp_path.glob("*.wal"))[0]
+    seg.write_bytes(seg.read_bytes()[:-7])  # crash mid-append of t2
+
+    reborn = WriteAheadLog(tmp_path)
+    assert [r.track_id for r in reborn.replay()] == ["t1"]
+    dropped = reborn.repair_tail()
+    assert dropped > 0
+    reborn.append_add("t3", np.arange(10, dtype=np.int32), np.arange(10, dtype=np.int32))
+    reborn.close()
+    # t3 is REACHABLE (was lost before repair_tail existed)
+    assert [r.track_id for r in WriteAheadLog(tmp_path).replay()] == ["t1", "t3"]
+
+
+def test_repair_tail_noop_on_clean_wal(tmp_path):
+    wal = WriteAheadLog(tmp_path)
+    wal.append_add("t1", np.arange(5, dtype=np.int32), np.arange(5, dtype=np.int32))
+    wal.close()
+    assert WriteAheadLog(tmp_path).repair_tail() == 0
+
+
+async def test_engine_survives_torn_wal_and_keeps_new_ingests(tmp_path):
+    """Engine-level crash drill: torn WAL tail at boot -> engine repairs,
+    serves the surviving track, and ingests AFTER the crash survive the
+    NEXT restart too."""
+    from tests.conftest import synth_audio
+
+    idx_dir = tmp_path / "idx"
+    clips = [synth_audio(np.random.default_rng(900 + i), 8.0) for i in range(3)]
+    e1 = EngineState(max_tracks=64, index_dir=idx_dir)
+    await e1.fingerprint_and_index("a" * 32, clips[0])
+    await e1.fingerprint_and_index("b" * 32, clips[1])
+    e1.wal.close()  # simulate crash: no snapshot
+    seg = sorted((idx_dir / "wal").glob("*.wal"))[-1]
+    seg.write_bytes(seg.read_bytes()[:-11])  # torn tail: record "b" damaged
+
+    e2 = EngineState(max_tracks=64, index_dir=idx_dir)
+    res = await e2.exact_search(clips[0][16000 * 1 : 16000 * 7])
+    assert res and res[0].track_row == 0  # survivor serves
+    await e2.fingerprint_and_index("c" * 32, clips[2])  # post-crash ingest
+    e2.wal.close()
+
+    e3 = EngineState(max_tracks=64, index_dir=idx_dir)
+    res = await e3.exact_search(clips[2][16000 * 1 : 16000 * 7])
+    assert res and res[0].confidence == 1.0
+    assert e3.fp_index.row_of("c" * 32) is not None
+    assert e3.fp_index.row_of("b" * 32) is None  # torn record stays lost
