@@ -50,6 +50,47 @@ class MatchResult:
     offset_sec: np.ndarray  # float32 [CANDIDATE_TRACKS]
 
 
+def expand_query_jitter_np(
+    q_hash: np.ndarray, q_time: np.ndarray, q_valid: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """NumPy mirror of ``index.match.expand_query_jitter`` (frozen
+    query-side semantics: every query hash also probes its single-step
+    anchor-bin / target-bin / frame-delta jitters)."""
+    h = q_hash.astype(np.int64)
+    f = h >> spec.F_ANCHOR_SHIFT
+    dfb = (h >> spec.DF_SHIFT) & ((1 << (spec.F_ANCHOR_SHIFT - spec.DF_SHIFT)) - 1)
+    dt = h & ((1 << spec.DF_SHIFT) - 1)
+    df = dfb - spec.DF_BIAS
+    f_t = f + df
+
+    outs_h, outs_t, outs_v = [], [], []
+    for da, dtf, ddt in spec.QUERY_JITTER_VARIANTS:
+        f2 = f + da
+        df2 = df - da + dtf
+        dt2 = dt + ddt
+        ft2 = f_t + dtf
+        ok = (
+            q_valid
+            & (f2 >= spec.MIN_FREQ_BIN) & (f2 <= spec.MAX_FREQ_BIN)
+            & (ft2 >= spec.MIN_FREQ_BIN) & (ft2 <= spec.MAX_FREQ_BIN)
+            & (np.abs(df2) <= spec.MAX_DF)
+            & (dt2 >= spec.MIN_DT) & (dt2 <= spec.MAX_DT)
+        )
+        h2 = (
+            (f2 << spec.F_ANCHOR_SHIFT)
+            | ((df2 + spec.DF_BIAS) << spec.DF_SHIFT)
+            | dt2
+        )
+        outs_h.append(np.where(ok, h2, h))
+        outs_t.append(np.asarray(q_time))
+        outs_v.append(ok)
+    return (
+        np.concatenate(outs_h),
+        np.concatenate(outs_t),
+        np.concatenate(outs_v),
+    )
+
+
 def probe_votes_np(
     q_hash: np.ndarray,
     q_time: np.ndarray,
@@ -130,6 +171,7 @@ def match_votes_np(
     nc = spec.CANDIDATE_TRACKS
     nw = 2 * nc
 
+    q_hash, q_time, q_valid = expand_query_jitter_np(q_hash, q_time, q_valid)
     v_track, v_bin, v_dt = probe_votes_np(
         q_hash, q_time, q_valid, offsets, tracks, times,
         d_hash, d_track, d_time, d_count, track_valid,

@@ -77,6 +77,52 @@ class DeviceIndex:
         )
 
 
+def expand_query_jitter(q_hash, q_time, q_valid):
+    """[H] query hashes -> [V*H] single-step jitter variants.
+
+    Mirrors ``cpu_reference.match.expand_query_jitter_np`` exactly.  For
+    each packed hash the anchor bin, target bin, and frame delta are
+    unpacked, shifted per spec.QUERY_JITTER_VARIANTS, revalidated against
+    the packing bounds, and repacked; invalid variants keep the original
+    hash with valid=False (shapes stay static).  A true db posting is hit
+    by exactly ONE variant of a given query hash, so true aligned counts
+    do not inflate — only recall of ±1-drifted peaks improves.
+    """
+    h = q_hash.astype(jnp.int32)
+    f = h >> spec.F_ANCHOR_SHIFT
+    dfb = (h >> spec.DF_SHIFT) & ((1 << (spec.F_ANCHOR_SHIFT - spec.DF_SHIFT)) - 1)
+    dt = h & ((1 << spec.DF_SHIFT) - 1)
+    df = dfb - spec.DF_BIAS
+    f_t = f + df  # target bin
+
+    outs_h, outs_t, outs_v = [], [], []
+    for da, dtf, ddt in spec.QUERY_JITTER_VARIANTS:
+        f2 = f + da
+        df2 = df - da + dtf
+        dt2 = dt + ddt
+        ft2 = f_t + dtf
+        ok = (
+            q_valid
+            & (f2 >= spec.MIN_FREQ_BIN) & (f2 <= spec.MAX_FREQ_BIN)
+            & (ft2 >= spec.MIN_FREQ_BIN) & (ft2 <= spec.MAX_FREQ_BIN)
+            & (jnp.abs(df2) <= spec.MAX_DF)
+            & (dt2 >= spec.MIN_DT) & (dt2 <= spec.MAX_DT)
+        )
+        h2 = (
+            (f2 << spec.F_ANCHOR_SHIFT)
+            | ((df2 + spec.DF_BIAS) << spec.DF_SHIFT)
+            | dt2
+        )
+        outs_h.append(jnp.where(ok, h2, h))
+        outs_t.append(q_time)
+        outs_v.append(ok)
+    return (
+        jnp.concatenate(outs_h),
+        jnp.concatenate(outs_t),
+        jnp.concatenate(outs_v),
+    )
+
+
 def probe_votes_arrays(
     q_hash,
     q_time,
@@ -151,6 +197,7 @@ def _probe_votes(q_hash, q_time, q_valid, di: DeviceIndex):
 
 def match_device_fn(q_hash, q_time, q_valid, di: DeviceIndex):
     """(track[NC], aligned[NC], offset_sec[NC]) — see frozen semantics."""
+    q_hash, q_time, q_valid = expand_query_jitter(q_hash, q_time, q_valid)
     v_track, v_bin, v_dt = _probe_votes(q_hash, q_time, q_valid, di)
     return votes_to_result(v_track, v_bin, v_dt)
 

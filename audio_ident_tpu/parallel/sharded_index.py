@@ -30,6 +30,7 @@ from jax.experimental.shard_map import shard_map
 from audio_ident_tpu import spec
 from audio_ident_tpu.index.match import (
     HASH_SENTINEL,
+    expand_query_jitter,
     probe_votes_arrays,
     votes_to_result,
 )
@@ -144,6 +145,7 @@ def _sharded_match_fn(mesh: Mesh):
         offsets, tracks, times, d_hash, d_track, d_time, d_count, hash_base = shards
 
         def probe_one(qh, qt, qv):
+            qh, qt, qv = expand_query_jitter(qh, qt, qv)
             return probe_votes_arrays(
                 qh, qt, qv,
                 offsets[0], tracks[0], times[0],

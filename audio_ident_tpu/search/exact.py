@@ -94,7 +94,10 @@ class ExactLane:
 
     def _match_windows(self, windows: np.ndarray) -> list[tuple[np.ndarray, ...]]:
         """Run fingerprint+match for a [B, S] batch of padded windows."""
-        budget = spec.max_peaks(windows.shape[1])
+        # queries fingerprint DENSER than the db (spec.QUERY_PEAKS_FACTOR):
+        # db peaks come from clean audio, so a denser query superset
+        # recovers true peaks that noise pushed past the selection rank
+        budget = spec.max_peaks(windows.shape[1]) * spec.QUERY_PEAKS_FACTOR
         if self._sharded is not None:
             from audio_ident_tpu.ops.fingerprint import fingerprint_batch
             from audio_ident_tpu.parallel.sharded_index import sharded_match_batch
@@ -204,8 +207,24 @@ def raw_candidates(
 def score_candidates(
     candidates: list[ExactCandidate], max_results: int
 ) -> list[ExactCandidate]:
-    """Filter/normalize/sort raw candidates (frozen reference scoring)."""
-    kept = [c for c in candidates if c.aligned_hashes >= spec.MIN_ALIGNED_HASHES]
+    """Filter/normalize/sort raw candidates.
+
+    Two gates: the frozen MIN_ALIGNED_HASHES floor (reference:
+    app/search/exact.py:33-62) AND an adaptive chance-vote floor — the
+    median aligned count over the CANDIDATE_TRACKS preselect slots (empty
+    slots count as zero) estimates the chance-coincidence level for THIS
+    query; a winner must also clear NOISE_FLOOR_MULTIPLIER times it.
+    Sparse candidate lists (clean queries, small libraries) have median 0
+    and the gate is inert; dense chance landscapes (degraded non-member
+    clips against large libraries, jitter-expanded probing) get filtered
+    without touching true matches, which tower over the floor.
+    """
+    n_slots = max(len(candidates), spec.CANDIDATE_TRACKS)
+    aligned = np.zeros(n_slots, dtype=np.float64)
+    aligned[: len(candidates)] = [c.aligned_hashes for c in candidates]
+    floor = float(np.median(aligned))
+    min_req = max(spec.MIN_ALIGNED_HASHES, spec.NOISE_FLOOR_MULTIPLIER * floor)
+    kept = [c for c in candidates if c.aligned_hashes >= min_req]
     for c in kept:
         c.confidence = normalize_confidence(c.aligned_hashes)
     kept.sort(key=lambda c: (-c.confidence, -c.aligned_hashes, c.track_row))

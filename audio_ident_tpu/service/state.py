@@ -372,7 +372,7 @@ class EngineState:
                     if b <= spec.SHORT_CLIP_THRESHOLD_SEC:
                         continue
                     n = b * spec.SAMPLE_RATE
-                    budget = spec.max_peaks(n)
+                    budget = spec.max_peaks(n) * spec.QUERY_PEAKS_FACTOR
                     for bs in range(2, self.MAX_MICRO_BATCH_WINDOWS + 1):
                         if stale():
                             break

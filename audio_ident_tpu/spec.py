@@ -82,6 +82,28 @@ CANDIDATE_TRACKS = 64         # pass-1 preselect width
 PROBE_FANOUT_MAIN = 16        # postings examined per query hash (main CSR)
 PROBE_FANOUT_DELTA = 8        # postings examined per query hash (delta)
 
+# --- Query-side robustness (format-neutral: the persisted index and the
+#     ingest fingerprint are UNCHANGED; these only shape how queries probe) ---
+# Diagnosis at 1,000-track eval scale: 20 dB white noise kept only 67/200
+# exact query peaks (119 within ±1 bin/frame) and 91/1024 exact hashes —
+# rank-boundary churn plus one-bin jitter through exact-bin hash packing.
+QUERY_PEAKS_FACTOR = 2        # query clips fingerprint at 2x db peak density
+                              # (db peaks are clean; a denser query superset
+                              # recovers rank-shifted true peaks)
+QUERY_JITTER_VARIANTS = (     # (d_anchor_f, d_target_f, d_dt) probe variants:
+    (0, 0, 0),                # each query hash also probes the single-step
+    (1, 0, 0), (-1, 0, 0),    # jitters of its anchor bin, target bin, and
+    (0, 1, 0), (0, -1, 0),    # frame delta — converting ±1 quantization
+    (0, 0, 1), (0, 0, -1),    # drift under noise/codecs into hits
+)
+# Chance votes scale with probe density (2x * 7 variants); a fixed aligned
+# floor can't absorb that.  The CANDIDATE_TRACKS list is its own chance
+# estimate: its median aligned score is the noise floor for THIS query,
+# and a winner must clear NOISE_FLOOR_MULTIPLIER * floor as well as
+# MIN_ALIGNED_HASHES.  True matches tower over the floor; degraded
+# non-members sit in it.
+NOISE_FLOOR_MULTIPLIER = 2.5
+
 # --- Match scoring (mirrors reference exact-lane scoring,
 #     reference: app/search/exact.py:33-62) -----------------------------------
 MIN_ALIGNED_HASHES = 8
