@@ -183,7 +183,16 @@ def codec_sim(
     edges = _band_edges(m, n_bands)
     nb = len(edges) - 1
     hop_sec = m / sr
-    budget = bitrate_kbps * 1000.0 * hop_sec  # bits per frame
+    # Real codecs spend their bit budget through entropy coding and
+    # psychoacoustic noise shaping, reaching a given quality at roughly
+    # 2-3x fewer raw uniform-quantization bits than this sim's direct
+    # allocation.  Without the gain factor the sim at 24 kbps measured
+    # ~9.6 dB output SNR — far below real Opus at that rate — making
+    # "opus-sim@24k" eval rows unrealistically punishing.  2.5 calibrates
+    # the severity into the plausible range while keeping the artifact
+    # CLASSES (band dropping, quantization noise, pre-echo) intact.
+    coding_gain = 2.5
+    budget = bitrate_kbps * 1000.0 * hop_sec * coding_gain  # bits per frame
     budget = max(budget - 32.0 * nb, 64.0)  # header/scalefactor overhead
 
     out = np.zeros_like(coefs)

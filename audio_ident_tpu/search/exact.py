@@ -210,24 +210,32 @@ def score_candidates(
     """Filter/normalize/sort raw candidates.
 
     Two gates: the frozen MIN_ALIGNED_HASHES floor (reference:
-    app/search/exact.py:33-62) AND an adaptive chance-vote floor — the
-    median aligned count over the CANDIDATE_TRACKS preselect slots (empty
-    slots count as zero) estimates the chance-coincidence level for THIS
-    query; a winner must also clear NOISE_FLOOR_MULTIPLIER times it.
-    Sparse candidate lists (clean queries, small libraries) have median 0
-    and the gate is inert; dense chance landscapes (degraded non-member
-    clips against large libraries, jitter-expanded probing) get filtered
-    without touching true matches, which tower over the floor.
+    app/search/exact.py:33-62) AND a score-gap verdict on the whole
+    response — non-member clips produce FLAT candidate lists (top ~=
+    runner-up, aligned 5-17 measured at 1,000 tracks) while true matches
+    tower over the best other-track score even at 0 dB SNR.  A response
+    whose top candidate is neither strong in absolute terms
+    (STRONG_ACCEPT_ALIGNED) nor MATCH_MARGIN_RATIO ahead of the
+    runner-up track is all noise: return nothing rather than a guess.
     """
-    n_slots = max(len(candidates), spec.CANDIDATE_TRACKS)
-    aligned = np.zeros(n_slots, dtype=np.float64)
-    aligned[: len(candidates)] = [c.aligned_hashes for c in candidates]
-    floor = float(np.median(aligned))
-    min_req = max(spec.MIN_ALIGNED_HASHES, spec.NOISE_FLOOR_MULTIPLIER * floor)
-    kept = [c for c in candidates if c.aligned_hashes >= min_req]
+    kept = [c for c in candidates if c.aligned_hashes >= spec.MIN_ALIGNED_HASHES]
     for c in kept:
         c.confidence = normalize_confidence(c.aligned_hashes)
     kept.sort(key=lambda c: (-c.confidence, -c.aligned_hashes, c.track_row))
+    if kept:
+        top = kept[0]
+        # runner-up from the RAW list: sub-floor scores still describe the
+        # chance landscape (a lone 8 over a sea of 7s is noise, not a hit)
+        runner_aligned = max(
+            (c.aligned_hashes for c in candidates if c.track_row != top.track_row),
+            default=0,
+        )
+        strong = top.aligned_hashes >= spec.STRONG_ACCEPT_ALIGNED
+        margin_ok = (
+            top.aligned_hashes >= spec.MATCH_MARGIN_RATIO * runner_aligned
+        )
+        if not (strong or margin_ok):
+            return []
     return kept[:max_results]
 
 
