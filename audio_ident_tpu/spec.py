@@ -105,9 +105,9 @@ QUERY_JITTER_VARIANTS = (     # (d_anchor_f, d_target_f, d_dt) probe variants:
 # is therefore a score-gap test: accept the response only if the top
 # candidate is STRONG in absolute terms or clears MATCH_MARGIN_RATIO
 # times the best other-track score.
-# Calibrated on the 1,000-track corpus: chance tops reach 17 (ratio over
-# runner-up <= 1.5); true degraded matches clear either bound.
-MATCH_MARGIN_RATIO = 1.6
+# Calibrated on the 1,000-track corpus: chance tops reach 17 aligned and
+# ratio 1.7 over the runner-up; true degraded matches clear either bound.
+MATCH_MARGIN_RATIO = 1.8
 STRONG_ACCEPT_ALIGNED = 24
 
 # --- Match scoring (mirrors reference exact-lane scoring,
