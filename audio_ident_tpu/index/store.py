@@ -216,8 +216,19 @@ class FingerprintIndex:
             self.d_hash, self.d_track, self.d_time,
             self.track_valid,
         )
+        self.apply_merge(offsets, r, t)
+
+    def apply_merge(
+        self, offsets: np.ndarray, tracks: np.ndarray, times: np.ndarray
+    ) -> None:
+        """Install the result of a (possibly off-thread) merge run.
+
+        The caller guarantees the index was not mutated between capturing
+        the merge inputs and this install — the service holds the
+        single-writer lock across flush + merge + install, so background
+        compaction never loses concurrently appended postings."""
         self.offsets = offsets.astype(np.int32)
-        self.tracks, self.times = r, t
+        self.tracks, self.times = tracks, times
         self.d_hash = np.zeros(0, dtype=np.int32)
         self.d_track = np.zeros(0, dtype=np.int32)
         self.d_time = np.zeros(0, dtype=np.int32)

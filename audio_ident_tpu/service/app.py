@@ -108,6 +108,8 @@ def create_app(
             vibe_lane=vibe_lane,
             vector_dir=settings.vector_dir,
             mesh_shards=settings.mesh_shards,
+            wal_fsync=settings.wal_fsync,
+            compact_delta_postings=settings.compact_delta_postings,
         )
     audio_io.ensure_storage_dirs(settings.storage_root)
     app.state.update(settings=settings, catalog=catalog, engine=engine)

@@ -75,6 +75,10 @@ class Settings(BaseModel):
     mesh_shards: int = 0  # 0 = single device
     micro_batch: bool = True  # co-batch concurrent exact searches
 
+    # durability / maintenance
+    wal_fsync: str = "always"  # always | interval | off (see index/wal.py)
+    compact_delta_postings: int = 2_000_000  # LSM merge trigger; 0 disables
+
     @property
     def storage_root(self) -> Path:
         return Path(self.data_root)
