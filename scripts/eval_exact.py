@@ -43,26 +43,36 @@ from audio_ident_tpu.service.audio import decode_wav  # noqa: E402
 from audio_ident_tpu.service.catalog import Catalog  # noqa: E402
 from audio_ident_tpu.service.settings import load_settings  # noqa: E402
 
+# The FROZEN target set is the reference's, name-for-name and
+# value-for-value (reference: scripts/eval_exact.py:45-53): top1_mic and
+# top5_mic are scored against 0.75/0.85 on the mic-capture clips ONLY.
+# Round 2 remapped these onto pooled categories, which hid a mic FAIL —
+# restored per the r2 verdict ("report the frozen categories as frozen").
 TARGETS = {
-    # reference: scripts/eval_exact.py:46-53
     "top1_clean": 0.98,
-    "top1_noisy": 0.75,
+    "top1_mic": 0.75,
     "top1_browser": 0.70,
-    "top5_overall": 0.85,
+    "top5_mic": 0.85,
     "median_offset_error_sec": 0.5,
     "false_positive_rate": 0.02,
     "latency_p95_ms": 2000.0,
 }
+# Our own ADDITIONAL targets on top of the frozen set (the corpus is
+# harder than the reference's: its builder mixes white noise at 20 dB,
+# reference: scripts/build_eval_corpus.py:603-606, while ours sweeps
+# 20->0 dB over white/pink/babble).  ``top1_noisy`` pools >=10 dB points.
+EXTRA_TARGETS = {
+    "top1_noisy": 0.75,
+    "top5_overall": 0.85,
+}
 
 
 def _category(env: str) -> str:
-    """Map fine-grained corpus environments onto the frozen target
-    categories (reference: scripts/eval_exact.py:46-53).  ``noisy`` is
-    moderate noise (>=10 dB SNR — the reference mixed at 10 dB); the
-    harder snr5/snr0 points feed the accuracy-vs-SNR curve but not the
-    frozen target.  Codec round-trips + the browser chain are the
-    browser-capture category; ``mic`` is reported separately (the
-    reference reality-check regime, 40-60% expected)."""
+    """Map fine-grained corpus environments onto target categories.
+    ``clean``/``mic``/``browser`` are the reference's frozen categories
+    (reference: scripts/eval_exact.py:45-53; codec round-trips ride the
+    browser-capture chain there too).  ``noisy`` (>=10 dB SNR) and
+    ``noisy_hard`` (<10 dB) are our harder SNR-sweep additions."""
     if env == "clean":
         return "clean"
     if env.startswith("snr"):
@@ -88,6 +98,7 @@ def evaluate(corpus: Path, settings) -> dict:
 
     per_env_hits: dict[str, list[int]] = {}
     per_cat_hits: dict[str, list[int]] = {}
+    per_cat_top5: dict[str, list[int]] = {}
     top5_hits: list[int] = []
     offset_errors: list[float] = []
     negatives_total = 0
@@ -124,7 +135,9 @@ def evaluate(corpus: Path, settings) -> dict:
         env = row["environment"]
         per_env_hits.setdefault(env, []).append(int(hit1))
         per_cat_hits.setdefault(_category(env), []).append(int(hit1))
-        top5_hits.append(int(expected in result_ids))
+        hit5 = int(expected in result_ids)
+        per_cat_top5.setdefault(_category(env), []).append(hit5)
+        top5_hits.append(hit5)
         if hit1:
             offset_errors.append(
                 abs(results[0].offset_seconds - float(row["offset_sec"]))
@@ -151,6 +164,7 @@ def evaluate(corpus: Path, settings) -> dict:
         "top1_browser": rate(per_cat_hits.get("browser", per_env_hits.get("browser", []))),
         "top1_noisy_hard": rate(per_cat_hits.get("noisy_hard", [])),
         "top1_mic": rate(per_cat_hits.get("mic", [])),
+        "top5_mic": rate(per_cat_top5.get("mic", [])),
         "snr_curve": {f"{db}dB": round(rate(h), 4) for db, h in sorted(snr_curve.items())},
         "per_environment": {
             env: round(rate(h), 4) for env, h in sorted(per_env_hits.items())
@@ -173,7 +187,7 @@ def evaluate(corpus: Path, settings) -> dict:
 
 def check_targets(metrics: dict) -> list[str]:
     failures = []
-    for key, target in TARGETS.items():
+    for key, target in {**TARGETS, **EXTRA_TARGETS}.items():
         got = metrics.get(key)
         if got is None:
             continue

@@ -15,14 +15,21 @@ import argparse
 import json
 from pathlib import Path
 
-# canonical thresholds (reference: eval_report.py:55-75)
+# canonical FROZEN thresholds — name-for-name the reference's set
+# (reference: eval_report.py:55-63); mic is scored on mic clips only
 EXACT_TARGETS = {
     "top1_clean": (0.98, "min"),
-    "top1_noisy": (0.75, "min"),
+    "top1_mic": (0.75, "min"),
     "top1_browser": (0.70, "min"),
-    "top5_overall": (0.85, "min"),
+    "top5_mic": (0.85, "min"),
     "median_offset_error_sec": (0.5, "max"),
     "false_positive_rate": (0.02, "max"),
+}
+# our additional (harder) targets: the corpus sweeps SNR 20->0 dB over
+# three noise kinds where the reference mixed white noise at 20 dB only
+EXACT_EXTRA_TARGETS = {
+    "top1_noisy": (0.75, "min"),
+    "top5_overall": (0.85, "min"),
 }
 VIBE_TARGETS = {"mrr": (0.5, "min"), "ndcg_at_5": (0.6, "min")}
 LATENCY_TARGETS = {
@@ -70,13 +77,14 @@ def build_report(exact: dict | None, vibe: dict | None, latency: dict | None) ->
         ]
     total_pass = total_fail = 0
     for name, metrics, targets in [
-        ("Exact lane", exact, EXACT_TARGETS),
+        ("Exact lane (frozen targets)", exact, EXACT_TARGETS),
+        ("Exact lane (our harder additions)", exact, EXACT_EXTRA_TARGETS),
         ("Vibe lane", vibe, VIBE_TARGETS),
         ("Latency (HTTP)", latency, LATENCY_TARGETS),
     ]:
         sec, p, f = _eval_section(name, metrics, targets)
         lines += sec
-        if name == "Exact lane" and metrics:
+        if name == "Exact lane (our harder additions)" and metrics:
             if metrics.get("snr_curve"):
                 lines += ["Accuracy vs SNR (top-1, pooled noise kinds):", ""]
                 curve = metrics["snr_curve"]
@@ -92,9 +100,11 @@ def build_report(exact: dict | None, vibe: dict | None, latency: dict | None) ->
                 lines.append("|---|---|")
                 for env, v in metrics["per_environment"].items():
                     lines.append(f"| {env} | {v:.3f} |")
-                for extra in ("top1_noisy_hard", "top1_mic"):
-                    if metrics.get(extra) is not None:
-                        lines.append(f"| {extra} (no frozen target) | {metrics[extra]:.3f} |")
+                if metrics.get("top1_noisy_hard") is not None:
+                    lines.append(
+                        f"| top1_noisy_hard (diagnostic, <10 dB SNR) | "
+                        f"{metrics['top1_noisy_hard']:.3f} |"
+                    )
                 lines.append("")
         if name == "Vibe lane" and metrics and metrics.get("provenance"):
             lines += [f"Provenance: {metrics['provenance']}", ""]

@@ -54,15 +54,33 @@ def test_eval_pipeline_end_to_end(ingested_library, tmp_path):
 
 def test_report_verdicts():
     good = {k: v for k, v in [
-        ("top1_clean", 1.0), ("top1_noisy", 0.9), ("top1_browser", 0.8),
-        ("top5_overall", 1.0), ("median_offset_error_sec", 0.1),
-        ("false_positive_rate", 0.0),
+        ("top1_clean", 1.0), ("top1_mic", 0.9), ("top1_browser", 0.8),
+        ("top5_mic", 1.0), ("top1_noisy", 0.9), ("top5_overall", 1.0),
+        ("median_offset_error_sec", 0.1), ("false_positive_rate", 0.0),
     ]}
     assert "GO" in build_report(good, None, None)
     bad = dict(good, top1_clean=0.5)  # below the NO-GO floor
     assert "NO-GO" in build_report(bad, None, None)
     mid = dict(good, top1_noisy=0.5)  # miss a target, above the floor
     r = build_report(mid, None, None)
+    assert "CONDITIONAL-GO" in r
+
+
+def test_report_mic_targets_are_frozen():
+    """r2 ADVICE high: the reference's frozen mic gates must be scored as
+    frozen targets — a failing mic row must surface as FAIL, not be
+    demoted to a no-target diagnostic."""
+    from scripts.eval_exact import TARGETS
+
+    assert TARGETS["top1_mic"] == 0.75
+    assert TARGETS["top5_mic"] == 0.85
+    metrics = {
+        "top1_clean": 1.0, "top1_mic": 0.667, "top1_browser": 1.0,
+        "top5_mic": 0.7, "median_offset_error_sec": 0.1,
+        "false_positive_rate": 0.0,
+    }
+    r = build_report(metrics, None, None)
+    assert "| top1_mic | 0.667 | >= 0.75 | FAIL |" in r
     assert "CONDITIONAL-GO" in r
 
 
