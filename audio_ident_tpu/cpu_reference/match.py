@@ -19,8 +19,11 @@ Index layout (shared with the device path, see audio_ident_tpu.index.store):
 Frozen decision rules (mirrored exactly by the device matcher — the device
 formulation is sort-based run counting, chosen so the TPU path needs no
 scatters; this NumPy path computes the same function):
-1. per query hash, examine the first PROBE_FANOUT_MAIN postings of its main
-   bucket and the first PROBE_FANOUT_DELTA delta postings.
+1. per query hash, examine PROBE_FANOUT_MAIN postings of its main bucket
+   and PROBE_FANOUT_DELTA delta postings, STRIDED across the chain:
+   position k probes chain index k when the chain fits the fanout, else
+   floor(k * chain_len / fanout) — unbiased sampling at any library scale
+   (spec.py PROBE_FANOUT notes).
 2. a vote is (track, bin) with bin = floor((t_ref - t_query) /
    OFFSET_BIN_FRAMES) + OFFSET_BIN_NEG, valid iff 0 <= bin < MAX_OFFSET_BINS
    and the track's tombstone bit is set.
@@ -125,23 +128,34 @@ def probe_votes_np(
         vbin_list.append(b[ok])
         vdt_list.append(dt[ok])
 
+    def strided_idx(chain_len, k, fanout):
+        ln_safe = np.maximum(chain_len, 1)
+        rot = (k * chain_len) // fanout + (h % ln_safe)
+        rot = np.where(rot >= chain_len, rot - chain_len, rot)
+        return np.where(chain_len <= fanout, k, rot)
+
     if n_post > 0:
         start = offsets[h].astype(np.int64)
         end = offsets[h + 1].astype(np.int64)
+        ln = end - start
         for k in range(spec.PROBE_FANOUT_MAIN):
-            pos = start + k
-            ok = q_valid & (pos < end)
+            idx = strided_idx(ln, k, spec.PROBE_FANOUT_MAIN)
+            pos = start + idx
+            ok = q_valid & (idx < ln)
             pos_c = np.clip(pos, 0, n_post - 1)
             emit(tracks[pos_c].astype(np.int64), times[pos_c].astype(np.int64), ok)
 
     if d_count > 0:
         dh = d_hash[:d_count].astype(np.int64)
         start_d = np.searchsorted(dh, h, side="left")
+        end_d = np.searchsorted(dh, h, side="right")
+        ln_d = end_d - start_d
         for k in range(spec.PROBE_FANOUT_DELTA):
-            pos = start_d + k
-            inb = pos < d_count
+            idx = strided_idx(ln_d, k, spec.PROBE_FANOUT_DELTA)
+            pos = start_d + idx
+            inb = (idx < ln_d) & (pos < d_count)
             pos_c = np.clip(pos, 0, d_count - 1)
-            ok = q_valid & inb & (dh[pos_c] == h)
+            ok = q_valid & inb
             emit(d_track[pos_c].astype(np.int64), d_time[pos_c].astype(np.int64), ok)
 
     if not vt_list:

@@ -165,20 +165,37 @@ def probe_votes_arrays(
         vt = jnp.where(ok, rtrk, TRACK_SENTINEL)
         return vt, jnp.where(ok, b, 0), jnp.where(ok, dt, 0)
 
-    # main CSR probe
+    def strided_idx(chain_len, fanout):
+        """Chain-relative probe positions: 0..fanout-1 for short chains;
+        for long chains, floor(k*len/fanout) rotated by (hash mod len) —
+        evenly spread AND de-correlated across buckets (without the
+        rotation, buckets with identical composition sample the SAME
+        track subset every time).  Unbiased at any scale — see spec.py
+        PROBE_FANOUT notes."""
+        k = jnp.arange(fanout, dtype=jnp.int32)[None, :]
+        ln = chain_len[:, None]
+        ln_safe = jnp.maximum(ln, 1)
+        rot = (k * ln) // fanout + (h[:, None] % ln_safe)
+        rot = jnp.where(rot >= ln, rot - ln, rot)
+        return jnp.where(ln <= fanout, k, rot)
+
+    # main CSR probe (strided)
     start = offsets[h_local]
     end = offsets[h_local + 1]
-    pos = start[:, None] + jnp.arange(spec.PROBE_FANOUT_MAIN, dtype=jnp.int32)[None, :]
-    ok_m = (q_valid & in_range)[:, None] & (pos < end[:, None])
+    idx_m = strided_idx(end - start, spec.PROBE_FANOUT_MAIN)
+    pos = start[:, None] + idx_m
+    ok_m = (q_valid & in_range)[:, None] & (idx_m < (end - start)[:, None])
     pos_c = jnp.clip(pos, 0, tracks.shape[0] - 1)
     vt_m, vb_m, vd_m = make_votes(tracks[pos_c], times[pos_c], ok_m)
 
-    # delta probe (binary search into sorted delta hashes)
+    # delta probe (binary search into sorted delta hashes, strided)
     start_d = jnp.searchsorted(d_hash, h, side="left").astype(jnp.int32)
-    pos_d = start_d[:, None] + jnp.arange(spec.PROBE_FANOUT_DELTA, dtype=jnp.int32)[None, :]
-    inb = pos_d < d_count
+    end_d = jnp.searchsorted(d_hash, h, side="right").astype(jnp.int32)
+    idx_d = strided_idx(end_d - start_d, spec.PROBE_FANOUT_DELTA)
+    pos_d = start_d[:, None] + idx_d
+    inb = (idx_d < (end_d - start_d)[:, None]) & (pos_d < d_count)
     pos_dc = jnp.clip(pos_d, 0, d_hash.shape[0] - 1)
-    ok_d = q_valid[:, None] & inb & (d_hash[pos_dc] == h[:, None])
+    ok_d = q_valid[:, None] & inb
     vt_d, vb_d, vd_d = make_votes(d_track[pos_dc], d_time[pos_dc], ok_d)
 
     v_track = jnp.concatenate([vt_m.reshape(-1), vt_d.reshape(-1)])
@@ -195,9 +212,16 @@ def _probe_votes(q_hash, q_time, q_valid, di: DeviceIndex):
     )
 
 
-def match_device_fn(q_hash, q_time, q_valid, di: DeviceIndex):
-    """(track[NC], aligned[NC], offset_sec[NC]) — see frozen semantics."""
-    q_hash, q_time, q_valid = expand_query_jitter(q_hash, q_time, q_valid)
+def match_device_fn(q_hash, q_time, q_valid, di: DeviceIndex, jitter: bool = True):
+    """(track[NC], aligned[NC], offset_sec[NC]) — see frozen semantics.
+
+    ``jitter`` (trace-time constant) gates the ±1-step probe expansion:
+    the cheap first pass of two-pass querying (spec.py two-pass notes)
+    probes exact hashes only — 1/7th the probe volume — and escalates to
+    the jitter-expanded pass only when the verdict gate is unsatisfied.
+    """
+    if jitter:
+        q_hash, q_time, q_valid = expand_query_jitter(q_hash, q_time, q_valid)
     v_track, v_bin, v_dt = _probe_votes(q_hash, q_time, q_valid, di)
     return votes_to_result(v_track, v_bin, v_dt)
 
@@ -266,9 +290,9 @@ def votes_to_result(v_track, v_bin, v_dt):
     )
 
 
-@jax.jit
-def match_device(q_hash, q_time, q_valid, di: DeviceIndex):
-    return match_device_fn(q_hash, q_time, q_valid, di)
+@functools.partial(jax.jit, static_argnames=("jitter",))
+def match_device(q_hash, q_time, q_valid, di: DeviceIndex, jitter: bool = True):
+    return match_device_fn(q_hash, q_time, q_valid, di, jitter=jitter)
 
 
 jax.tree_util.register_dataclass(

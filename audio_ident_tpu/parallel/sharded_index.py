@@ -121,8 +121,8 @@ jax.tree_util.register_dataclass(
 )
 
 
-@functools.lru_cache(maxsize=8)
-def _sharded_match_fn(mesh: Mesh):
+@functools.lru_cache(maxsize=16)
+def _sharded_match_fn(mesh: Mesh, jitter: bool = True):
     """Compile-cached BATCHED sharded matcher for a mesh.
 
     Queries carry a leading window/batch dim [B, H]: every per-shard probe
@@ -145,7 +145,8 @@ def _sharded_match_fn(mesh: Mesh):
         offsets, tracks, times, d_hash, d_track, d_time, d_count, hash_base = shards
 
         def probe_one(qh, qt, qv):
-            qh, qt, qv = expand_query_jitter(qh, qt, qv)
+            if jitter:
+                qh, qt, qv = expand_query_jitter(qh, qt, qv)
             return probe_votes_arrays(
                 qh, qt, qv,
                 offsets[0], tracks[0], times[0],
@@ -165,13 +166,16 @@ def _sharded_match_fn(mesh: Mesh):
     return matcher
 
 
-def sharded_match_batch(q_hash, q_time, q_valid, sdi: ShardedDeviceIndex, mesh: Mesh):
+def sharded_match_batch(
+    q_hash, q_time, q_valid, sdi: ShardedDeviceIndex, mesh: Mesh,
+    jitter: bool = True,
+):
     """Batched [B, H] queries -> replicated (track[B, NC], aligned, offset)."""
     shards = (
         sdi.offsets, sdi.tracks, sdi.times,
         sdi.d_hash, sdi.d_track, sdi.d_time, sdi.d_count, sdi.hash_base,
     )
-    return _sharded_match_fn(mesh)(
+    return _sharded_match_fn(mesh, jitter)(
         jnp.asarray(q_hash, jnp.int32), jnp.asarray(q_time, jnp.int32),
         jnp.asarray(q_valid), shards, sdi.track_valid,
     )

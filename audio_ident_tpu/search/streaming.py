@@ -51,9 +51,16 @@ class StreamReport:
 
 @dataclass
 class StreamingIdentifier:
-    """Feed PCM with ``push``; returns a StreamReport when confident."""
+    """Feed PCM with ``push``; returns a StreamReport when confident.
 
-    device_index: DeviceIndex
+    Construct with either a ``device_index`` (single chip) or a ready
+    ``lane`` (e.g. a mesh-sharded ExactLane from EngineState).  A session
+    pins the index generation it was created against; tracks ingested
+    mid-stream become visible to NEW sessions only.
+    """
+
+    device_index: DeviceIndex | None = None
+    lane: ExactLane | None = None
     sample_rate: int = spec.SAMPLE_RATE
     _buffer: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
     _consumed: int = 0  # samples consumed before the buffer start
@@ -62,7 +69,9 @@ class StreamingIdentifier:
     _offsets: dict[int, float] = field(default_factory=dict)
 
     def __post_init__(self):
-        self._lane = ExactLane(self.device_index)
+        if (self.device_index is None) == (self.lane is None):
+            raise ValueError("provide exactly one of device_index or lane")
+        self._lane = self.lane or ExactLane(self.device_index)
         self._window = int(STREAM_WINDOW_SEC * self.sample_rate)
         self._hop = int(STREAM_HOP_SEC * self.sample_rate)
         self._next_query_at = self._window

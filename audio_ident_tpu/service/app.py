@@ -42,6 +42,9 @@ from audio_ident_tpu.service.schemas import (
     PaginatedResponse,
     PaginationMeta,
     SearchMode,
+    StreamCreateResponse,
+    StreamMatch,
+    StreamPushResponse,
     TrackDetail,
     TrackInfo,
     VersionResponse,
@@ -368,6 +371,108 @@ def create_app(
             ),
             status=201 if outcome.status == "ingested" else 200,
         )
+
+    # -- streaming identification (BASELINE config #3; no reference
+    #    counterpart — the reference's long-context handling is offline
+    #    chunking only, SURVEY.md §5) ------------------------------------------
+    #
+    # Session-based chunked HTTP: POST /stream opens a session, raw
+    # s16le/f32le PCM chunks feed /stream/{id}/audio, every push returns
+    # the live verdict, DELETE closes.  Works over plain HTTP (the mini
+    # ASGI server has no websocket layer; chunk-per-request keeps the
+    # same testability as every other endpoint).
+
+    streams: dict[str, tuple[object, float]] = {}
+
+    def _gc_streams(now: float) -> None:
+        dead = [
+            sid for sid, (_, last) in streams.items()
+            if now - last > settings.stream_idle_timeout_sec
+        ]
+        for sid in dead:
+            del streams[sid]
+
+    @app.post("/api/v1/stream")
+    async def stream_create(_request: Request):
+        import time as time_mod
+
+        from audio_ident_tpu.search import streaming as streaming_mod
+
+        now = time_mod.monotonic()
+        _gc_streams(now)
+        if len(streams) >= settings.max_streams:
+            raise HttpError(
+                429, "RATE_LIMITED",
+                f"Too many concurrent streams (max {settings.max_streams})",
+            )
+        sid = str(uuidlib.uuid4())
+        streams[sid] = (engine.create_stream(), now)
+        return JSONResponse(
+            StreamCreateResponse(
+                stream_id=sid,
+                pcm_format="pcm_s16le",
+                sample_rate=16000,
+                window_sec=streaming_mod.STREAM_WINDOW_SEC,
+                hop_sec=streaming_mod.STREAM_HOP_SEC,
+            ),
+            status=201,
+        )
+
+    @app.post("/api/v1/stream/{stream_id}/audio")
+    async def stream_push(request: Request):
+        import time as time_mod
+
+        import numpy as np
+
+        sid = request.path_params["stream_id"]
+        entry = streams.get(sid)
+        if entry is None:
+            raise HttpError(404, "NOT_FOUND", f"no such stream: {sid}")
+        ident, _ = entry
+        body = request.body
+        if not body:
+            raise HttpError(400, "VALIDATION_ERROR", "empty audio chunk")
+        if len(body) > 2 * 16000 * 30:  # 30 s of s16le per push is plenty
+            raise HttpError(400, "FILE_TOO_LARGE", "chunk exceeds 30 s of PCM")
+        ctype = request.headers.get("content-type", "application/octet-stream")
+        if "f32" in ctype or "float" in ctype:
+            if len(body) % 4:
+                raise HttpError(400, "VALIDATION_ERROR", "truncated f32le chunk")
+            pcm = np.frombuffer(body, np.float32).astype(np.float32)
+        else:
+            if len(body) % 2:
+                raise HttpError(400, "VALIDATION_ERROR", "truncated s16le chunk")
+            pcm = np.frombuffer(body, np.int16).astype(np.float32) / 32768.0
+
+        report = await engine.stream_push(ident, pcm)
+        streams[sid] = (ident, time_mod.monotonic())
+        match = None
+        if report is not None:
+            tid = engine.fp_index.uuid_of(report.track_row)
+            meta = await catalog.a_get_tracks([tid] if tid else [])
+            if tid is not None and tid in meta:
+                match = StreamMatch(
+                    track=_track_info(meta[tid]),
+                    carried_score=report.carried_score,
+                    confidence=round(report.confidence, 4),
+                    offset_seconds=round(report.offset_seconds, 3),
+                    stream_position_sec=round(report.stream_position_sec, 3),
+                )
+        return JSONResponse(
+            StreamPushResponse(
+                stream_id=sid,
+                position_sec=round(ident.position_sec, 3),
+                confirmed=match is not None,
+                match=match,
+            )
+        )
+
+    @app.delete("/api/v1/stream/{stream_id}")
+    async def stream_close(request: Request):
+        sid = request.path_params["stream_id"]
+        if streams.pop(sid, None) is None:
+            raise HttpError(404, "NOT_FOUND", f"no such stream: {sid}")
+        return Response(b"", 204, {"content-type": "text/plain"})
 
     # -- debug: recent engine spans (admin-gated; SURVEY.md §5 tracing) --------
 

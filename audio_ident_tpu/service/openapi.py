@@ -26,6 +26,8 @@ _RESPONSE_MODELS = [
     S.TrackDetail,
     S.ErrorResponse,
     S.PaginatedResponse[S.TrackInfo],
+    S.StreamCreateResponse,
+    S.StreamPushResponse,
 ]
 
 
@@ -157,6 +159,49 @@ def build_spec(service_name: str, service_version: str) -> dict[str, Any]:
                     "400": _ERR, "403": _ERR, "404": _ERR,
                 },
             },
+        },
+        "/api/v1/stream": {
+            "post": {
+                "operationId": "createStream",
+                "description": "Open a streaming-identification session "
+                "(sliding 5 s windows, carried votes; no reference "
+                "counterpart).",
+                "responses": {
+                    "201": _json_response(S.StreamCreateResponse),
+                    "429": _ERR,
+                },
+            }
+        },
+        "/api/v1/stream/{id}/audio": {
+            "post": {
+                "operationId": "pushStreamAudio",
+                "parameters": [
+                    {"name": "id", "in": "path", "required": True,
+                     "schema": {"type": "string", "format": "uuid"}},
+                ],
+                "requestBody": {
+                    "required": True,
+                    "content": {"application/octet-stream": {"schema": {
+                        "type": "string", "format": "binary",
+                        "description": "raw mono 16 kHz PCM: s16le by "
+                        "default, f32le when content-type mentions f32/float",
+                    }}},
+                },
+                "responses": {
+                    "200": _json_response(S.StreamPushResponse),
+                    "400": _ERR, "404": _ERR,
+                },
+            }
+        },
+        "/api/v1/stream/{id}": {
+            "delete": {
+                "operationId": "closeStream",
+                "parameters": [
+                    {"name": "id", "in": "path", "required": True,
+                     "schema": {"type": "string", "format": "uuid"}},
+                ],
+                "responses": {"204": {"description": "stream closed"}, "404": _ERR},
+            }
         },
         "/api/v1/tracks/{id}/audio": {
             "get": {

@@ -124,3 +124,29 @@ class VersionResponse(BaseModel):
     version: str
     git_sha: str | None = None
     build_time: str | None = None
+
+
+class StreamCreateResponse(BaseModel):
+    """Streaming identification session (BASELINE config #3; the reference
+    has no streaming mode — SURVEY.md §5 long-context)."""
+
+    stream_id: str
+    pcm_format: str  # "pcm_s16le" mono at sample_rate
+    sample_rate: int
+    window_sec: float
+    hop_sec: float
+
+
+class StreamMatch(BaseModel):
+    track: TrackInfo
+    carried_score: int
+    confidence: float = Field(ge=0.0, le=1.0)
+    offset_seconds: float  # stream start position within the track
+    stream_position_sec: float  # audio consumed when confirmed
+
+
+class StreamPushResponse(BaseModel):
+    stream_id: str
+    position_sec: float
+    confirmed: bool
+    match: StreamMatch | None = None

@@ -79,6 +79,10 @@ class Settings(BaseModel):
     wal_fsync: str = "always"  # always | interval | off (see index/wal.py)
     compact_delta_postings: int = 2_000_000  # LSM merge trigger; 0 disables
 
+    # streaming identification sessions (BASELINE config #3)
+    max_streams: int = 8
+    stream_idle_timeout_sec: float = 120.0
+
     @property
     def storage_root(self) -> Path:
         return Path(self.data_root)

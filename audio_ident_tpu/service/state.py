@@ -325,19 +325,25 @@ class EngineState:
             raise
 
     async def _drain_exact_queue_inner(self) -> None:
-        from audio_ident_tpu.search.exact import raw_candidates, score_candidates
+        from audio_ident_tpu.search.exact import (
+            cheap_accept,
+            raw_candidates,
+            score_candidates,
+        )
 
         while self._exact_pending:
             group = self._take_exact_group()
+            # pass 1: cheap (1x density, exact-hash probes) for the group
             try:
                 results = await self._run(
-                    self._match_group, [g[0] for g in group]
+                    self._match_group, [g[0] for g in group], True
                 )
             except Exception as exc:  # noqa: BLE001 — propagate per request
                 for _, _, fut in group:
                     if not fut.done():
                         fut.set_exception(exc)
                 continue
+            escalate = []
             for (prep, max_results, fut), res in zip(group, results):
                 if fut.done():
                     continue
@@ -345,19 +351,43 @@ class EngineState:
                 # that would leave every queued request hanging forever
                 # (ADVICE r2) — fail just the one request instead
                 try:
+                    scored = score_candidates(raw_candidates(res, prep), max_results)
+                except Exception as exc:  # noqa: BLE001
+                    fut.set_exception(exc)
+                    continue
+                if cheap_accept(scored):
+                    fut.set_result(scored)
+                else:
+                    escalate.append((prep, max_results, fut))
+            if not escalate:
+                continue
+            # pass 2: full probing for the undecided subset only
+            try:
+                results = await self._run(
+                    self._match_group, [g[0] for g in escalate], False
+                )
+            except Exception as exc:  # noqa: BLE001
+                for _, _, fut in escalate:
+                    if not fut.done():
+                        fut.set_exception(exc)
+                continue
+            for (prep, max_results, fut), res in zip(escalate, results):
+                if fut.done():
+                    continue
+                try:
                     fut.set_result(
                         score_candidates(raw_candidates(res, prep), max_results)
                     )
                 except Exception as exc:  # noqa: BLE001
                     fut.set_exception(exc)
 
-    def _match_group(self, prepared_list):
+    def _match_group(self, prepared_list, cheap: bool = False):
         from audio_ident_tpu.utils.profiling import device_trace, span
 
         self.dispatch_stats["exact_dispatches"] += 1
         self.dispatch_stats["exact_requests"] += len(prepared_list)
         with span("exact_search"), device_trace():
-            return self._current_exact_lane().match_prepared(prepared_list)
+            return self._current_exact_lane().match_prepared(prepared_list, cheap=cheap)
 
     def start_micro_batch_warm(self) -> None:
         """AOT-compile co-batched query shapes on a side thread.
@@ -402,14 +432,20 @@ class EngineState:
                     if b <= spec.SHORT_CLIP_THRESHOLD_SEC:
                         continue
                     n = b * spec.SAMPLE_RATE
-                    budget = spec.max_peaks(n) * spec.QUERY_PEAKS_FACTOR
                     for bs in range(2, self.MAX_MICRO_BATCH_WINDOWS + 1):
                         if stale():
                             break
                         with self._no_cpu_cache_writes():
-                            _fingerprint_and_match.lower(
-                                jax.ShapeDtypeStruct((bs, n), jnp.float32), budget, di
-                            ).compile()
+                            # both passes of two-pass querying: cheap
+                            # (1x, exact-hash) and full (2x, jittered)
+                            for budget, jitter in (
+                                (spec.max_peaks(n), False),
+                                (spec.max_peaks(n) * spec.QUERY_PEAKS_FACTOR, True),
+                            ):
+                                _fingerprint_and_match.lower(
+                                    jax.ShapeDtypeStruct((bs, n), jnp.float32),
+                                    budget, di, jitter=jitter,
+                                ).compile()
                         self._batched_warm.add((n, bs))
                     if stale():
                         break
@@ -648,6 +684,27 @@ class EngineState:
                     self._current_device_vectors(),
                     exclude_track_row=exclude_track_row,
                 )
+
+        return await self._run(work)
+
+    # -- streaming identification ----------------------------------------------
+
+    def create_stream(self):
+        """New streaming session against the CURRENT index generation
+        (BASELINE config #3: 5 s sliding windows, carried votes)."""
+        from audio_ident_tpu.search.streaming import StreamingIdentifier
+
+        return StreamingIdentifier(lane=self._current_exact_lane())
+
+    async def stream_push(self, ident, pcm_16k: np.ndarray):
+        """Feed a stream on the device-dispatch thread (window queries run
+        the same compiled programs as regular searches)."""
+
+        def work():
+            from audio_ident_tpu.utils.profiling import span
+
+            with span("stream_push"):
+                return ident.push(pcm_16k)
 
         return await self._run(work)
 

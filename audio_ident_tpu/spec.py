@@ -79,8 +79,19 @@ OFFSET_BIN_FRAMES = 1         # histogram bin = 1 frame = 16 ms
 OFFSET_BIN_NEG = 128          # frames of negative-offset tolerance (~2 s)
 MAX_OFFSET_BINS = 131_072     # per-track offset bins (covers 30+ min tracks)
 CANDIDATE_TRACKS = 64         # pass-1 preselect width
-PROBE_FANOUT_MAIN = 16        # postings examined per query hash (main CSR)
-PROBE_FANOUT_DELTA = 8        # postings examined per query hash (delta)
+# Probe fanout: postings examined per query hash.  Probing is STRIDED
+# (round 3): position k examines chain index k when the chain fits the
+# fanout, else floor(k * chain_len / FANOUT) — FANOUT positions spread
+# evenly across the chain.  A head-of-chain probe is biased against
+# late-ingested tracks and reaches a vanishing fraction of hot buckets as
+# the library grows (measured at 1,001 tracks: 25% of delta postings sat
+# beyond a fanout-8 head; chains scale linearly with track count, so at
+# the 1M-track BASELINE pod scale a head probe reaches ~7% of an average
+# bucket).  Strided sampling keeps recall FAIR at any scale: every track's
+# posting is reachable with probability ~min(1, FANOUT/chain_len),
+# independent of ingest order.
+PROBE_FANOUT_MAIN = 32        # main CSR probe width
+PROBE_FANOUT_DELTA = 16       # delta probe width
 
 # --- Query-side robustness (format-neutral: the persisted index and the
 #     ingest fingerprint are UNCHANGED; these only shape how queries probe) ---
@@ -109,6 +120,20 @@ QUERY_JITTER_VARIANTS = (     # (d_anchor_f, d_target_f, d_dt) probe variants:
 # ratio 1.7 over the runner-up; true degraded matches clear either bound.
 MATCH_MARGIN_RATIO = 1.8
 STRONG_ACCEPT_ALIGNED = 24
+# Margin-gate exemption for duplicate content: a different track whose
+# best offset sits within this tolerance of the top's offset is (near
+# certainly) a duplicate ingest / alternate release of the SAME recording
+# — corroboration, not competition — and is excluded from the margin
+# denominator (ADVICE r2; chance candidates have uniformly random offsets
+# over minutes, so the exemption does not move the measured FPR).
+DUP_OFFSET_TOLERANCE_SEC = 0.25
+
+# Two-pass querying (query-time semantics; the persisted format is
+# unchanged): pass 1 fingerprints at 1x density and probes exact hashes
+# only; a top candidate with >= STRONG_ACCEPT_ALIGNED aligned accepts
+# immediately (clean clips resolve here at ~1/14th probe volume), anything
+# weaker escalates to the full 2x-density jitter-expanded pass, keeping
+# degraded-clip accuracy and FPR identical to always-full probing.
 
 # --- Match scoring (mirrors reference exact-lane scoring,
 #     reference: app/search/exact.py:33-62) -----------------------------------

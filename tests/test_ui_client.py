@@ -58,6 +58,9 @@ def test_runtime_client_covers_every_operation():
         "getTrack": "fetchTrackDetail",
         "deleteTrack": "deleteTrack",
         "getTrackAudio": "trackAudioUrl",
+        "createStream": "createStream",
+        "pushStreamAudio": "pushStreamAudio",
+        "closeStream": "closeStream",
     }
     spec = _spec()
     op_ids = {

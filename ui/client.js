@@ -69,6 +69,28 @@ const api = {
       headers: { "X-Admin-Key": adminKey },
     });
   },
+
+  /* streaming identification (no reference counterpart): open a session,
+   * push raw PCM chunks (Float32Array from WebAudio works directly via
+   * the f32 content-type), read the live verdict from each push. */
+  createStream: () => apiFetch("/api/v1/stream", { method: "POST" }),
+
+  pushStreamAudio: (streamId, pcmChunk, { float = true } = {}) =>
+    apiFetch(`/api/v1/stream/${streamId}/audio`, {
+      method: "POST",
+      body: pcmChunk,
+      headers: {
+        "Content-Type": float ? "audio/pcm-f32le" : "application/octet-stream",
+      },
+    }),
+
+  closeStream: (streamId) =>
+    fetch(`${API_BASE}/api/v1/stream/${streamId}`, { method: "DELETE" }).then(
+      (r) => {
+        if (!r.ok && r.status !== 404)
+          throw new ApiRequestError(r.status, "CLOSE_FAILED", `HTTP ${r.status}`);
+      },
+    ),
 };
 
 window.api = api;
