@@ -1,12 +1,14 @@
-"""NumPy golden fingerprint pipeline (frozen semantics, format v1).
+"""NumPy golden fingerprint pipeline (frozen semantics, format v2).
 
 Every stage is written to have an exactly-mirrorable JAX counterpart:
 
 1. framing: frame i covers samples [i*HOP, i*HOP + N_FFT), no centering.
 2. periodic Hann window, float32 rFFT magnitude, log with LOG_FLOOR.
-3. salience = logmag - boxmean(logmag) over a (±PEAK_TIME_RADIUS,
-   ±PEAK_FREQ_RADIUS) window (zero-padded separable box filter divided by
-   the true in-bounds neighbor count).
+3. salience = logmag - boxmean(logmag) over a (±SUB_TIME_RADIUS,
+   ±SUB_FREQ_RADIUS) window (zero-padded separable box filter divided by
+   the true in-bounds neighbor count).  v2 widened the time radius to
+   ±31 frames (temporal whitening — stationary noise floors and reverb
+   tails subtract out), independent of the local-max radii.
 4. decisions are made on q = floor(salience * SALIENCE_QUANT) as int32.
 5. local-max test against the same neighborhood (strict on earlier cells,
    non-strict on later cells is avoided by using q with unique flat-index
@@ -68,7 +70,7 @@ def log_magnitude(frames: np.ndarray) -> np.ndarray:
 
 def _box_mean(logmag: np.ndarray) -> np.ndarray:
     """Separable zero-padded box sum / true neighbor count (float32)."""
-    t_r, f_r = spec.PEAK_TIME_RADIUS, spec.PEAK_FREQ_RADIUS
+    t_r, f_r = spec.SUB_TIME_RADIUS, spec.SUB_FREQ_RADIUS
     tdim, fdim = logmag.shape
     # time axis: zero-pad then sliding sum of width 2*t_r+1
     kt = np.ones(2 * t_r + 1, dtype=np.float32)

@@ -62,9 +62,14 @@ class DeviceIndex:
     def from_host(cls, idx, device=None) -> "DeviceIndex":
         """Build from a FingerprintIndex (flushes pending first)."""
         idx.flush()
+        if len(idx.tracks) > np.iinfo(np.int32).max:
+            raise ValueError(
+                "single-device mirror exceeds int32 postings — shard the "
+                "index over a mesh (MESH_SHARDS) instead"
+            )
         put = functools.partial(jax.device_put, device=device)
         return cls(
-            offsets=put(idx.offsets),
+            offsets=put(idx.offsets.astype(np.int32)),
             tracks=put(cls._pad_pow2(idx.tracks, 0)),
             times=put(cls._pad_pow2(idx.times, 0)),
             n_main=put(np.int32(len(idx.tracks))),

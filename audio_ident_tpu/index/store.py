@@ -99,8 +99,11 @@ class FingerprintIndex:
 
     def __init__(self, max_tracks: int = 1 << 20) -> None:
         self.max_tracks = max_tracks
-        # main CSR
-        self.offsets = np.zeros(spec.HASH_SPACE + 1, dtype=np.int32)
+        # main CSR — offsets are int64: cumulative postings pass 2^31 at
+        # ~300k tracks of full-length audio (the 1M-track BASELINE shape
+        # is ~3-6B postings).  Device mirrors narrow per shard, where the
+        # rebased range always fits int32.
+        self.offsets = np.zeros(spec.HASH_SPACE + 1, dtype=np.int64)
         self.tracks = np.zeros(0, dtype=np.int32)
         self.times = np.zeros(0, dtype=np.int32)
         # delta (lexsorted by (hash, track, time))
@@ -227,7 +230,7 @@ class FingerprintIndex:
         the merge inputs and this install — the service holds the
         single-writer lock across flush + merge + install, so background
         compaction never loses concurrently appended postings."""
-        self.offsets = offsets.astype(np.int32)
+        self.offsets = offsets.astype(np.int64)
         self.tracks, self.times = tracks, times
         self.d_hash = np.zeros(0, dtype=np.int32)
         self.d_track = np.zeros(0, dtype=np.int32)
@@ -277,7 +280,7 @@ class FingerprintIndex:
                 "rebuild from the raw blob store"
             )
         idx = cls(max_tracks=int(reg["max_tracks"]))
-        idx.offsets = data["offsets"]
+        idx.offsets = np.asarray(data["offsets"], np.int64)  # pre-r3: int32
         idx.tracks = data["tracks"]
         idx.times = data["times"]
         idx.d_hash = data["d_hash"]

@@ -176,7 +176,7 @@ def _box_mean_jax(logmag: jnp.ndarray) -> jnp.ndarray:
 
     Separable: two 1-D reduce_windows (5x fewer VPU ops than the 2-D one).
     """
-    t_r, f_r = spec.PEAK_TIME_RADIUS, spec.PEAK_FREQ_RADIUS
+    t_r, f_r = spec.SUB_TIME_RADIUS, spec.SUB_FREQ_RADIUS
     tdim, fdim = logmag.shape
     summed = jax.lax.reduce_window(
         logmag,

@@ -46,7 +46,13 @@ from audio_ident_tpu import spec
 NEG = -(2**31) + 1
 MASKED_KEY = -(1 << 30)
 OUT_LANES = 128          # VMEM lane width; lanes [0, PEAKS_PER_FRAME_CAP) used
-HALO = 8                 # frames of tile overlap (>= 2 * PEAK_TIME_RADIUS + 2)
+# Tile overlap: center rows need valid box means at +/-PEAK_TIME_RADIUS
+# (local-max inputs), each of which needs +/-SUB_TIME_RADIUS of true
+# log-magnitude — 8-aligned for sublane-friendly DMA shapes.
+HALO = max(
+    8,
+    -(-(spec.SUB_TIME_RADIUS + spec.PEAK_TIME_RADIUS + 2) // 8) * 8,
+)
 MAX_TILE = 512           # frames per grid tile (VMEM budget ~30 MB/program)
 _RATIO = spec.N_FFT // spec.HOP  # 4 hop blocks per frame
 
@@ -70,6 +76,7 @@ def _make_kernel(tt: int, t_total: int):
     rows = tt + 2 * HALO          # frames computed per tile (center + halo)
     blk = rows + _RATIO + 4       # hop blocks DMA'd (pad to 8-multiple slack)
     t_r, f_r = spec.PEAK_TIME_RADIUS, spec.PEAK_FREQ_RADIUS
+    s_t, s_f = spec.SUB_TIME_RADIUS, spec.SUB_FREQ_RADIUS
     fdim = spec.N_BINS
 
     def kernel(y_hbm, basis_ref, out_ref, y_s, fr_s, sem):
@@ -110,21 +117,21 @@ def _make_kernel(tt: int, t_total: int):
         # --- box mean: zero-padded shifted adds / true neighbor count ------
         # (identical arithmetic to ops.fingerprint._box_mean_jax; rows whose
         # box window reaches outside the scratch are never consumed — the
-        # HALO leaves 2 rows of slack beyond the local-max reach)
-        xp = jnp.pad(lm, ((t_r, t_r), (0, 0)))
+        # HALO leaves slack beyond the local-max + subtraction reach)
+        xp = jnp.pad(lm, ((s_t, s_t), (0, 0)))
         st = xp[0:rows]
-        for k in range(1, 2 * t_r + 1):
+        for k in range(1, 2 * s_t + 1):
             st = st + xp[k : k + rows]
-        sp = jnp.pad(st, ((0, 0), (f_r, f_r)))
+        sp = jnp.pad(st, ((0, 0), (s_f, s_f)))
         sf = sp[:, 0:fdim]
-        for k in range(1, 2 * f_r + 1):
+        for k in range(1, 2 * s_f + 1):
             sf = sf + sp[:, k : k + fdim]
 
         gtc = jnp.clip(gt, 0, t_total - 1)
         count_t = (
-            jnp.minimum(gtc + t_r, t_total - 1) - jnp.maximum(gtc - t_r, 0) + 1
+            jnp.minimum(gtc + s_t, t_total - 1) - jnp.maximum(gtc - s_t, 0) + 1
         )
-        count_f = jnp.minimum(fi + f_r, fdim - 1) - jnp.maximum(fi - f_r, 0) + 1
+        count_f = jnp.minimum(fi + s_f, fdim - 1) - jnp.maximum(fi - s_f, 0) + 1
         mean = sf / jnp.maximum(count_t * count_f, 1).astype(jnp.float32)
 
         q = jnp.floor((lm - mean) * jnp.float32(spec.SALIENCE_QUANT)).astype(

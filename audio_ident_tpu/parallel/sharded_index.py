@@ -83,6 +83,11 @@ class ShardedDeviceIndex:
         for s in range(d):
             lo, hi = s * span, (s + 1) * span
             a, b = int(off[lo]), int(off[hi])
+            if b - a > np.iinfo(np.int32).max:
+                raise ValueError(
+                    f"shard {s} holds {b - a} postings (> int32) — use a "
+                    "larger mesh"
+                )
             offsets_rows.append((off[lo : hi + 1] - off[lo]).astype(np.int32))
             trk_rows.append(idx.tracks[a:b])
             tim_rows.append(idx.times[a:b])

@@ -59,6 +59,14 @@ async def _run_ingest(settings, directory: Path) -> int:
     )
     for f, e in report.errors:
         print(f"  ERROR {f}: {e}")
+    # leave the store in its serving-optimal state: everything merged into
+    # the main CSR (wide strided fanout) and snapshotted (the r2 eval index
+    # was left 100% delta — fanout-8 probing degraded recall; verdict #2)
+    merged = await engine.compact()
+    if merged:
+        print(f"compacted {merged} delta postings into the main CSR")
+    await engine.snapshot()
+    print(f"snapshot written: {settings.index_dir}")
     await engine.close()
     catalog.close()
     return 0 if not report.errors else 1

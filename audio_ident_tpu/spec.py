@@ -27,7 +27,15 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 
-FORMAT_VERSION = 1
+# Format v2 (round 3): SUB_TIME_RADIUS 3 -> 31 (temporal whitening: the
+# salience contrast subtracts a ±0.5 s local mean, so stationary noise
+# floors and reverb tails cancel and peak RANKS stay stable under
+# degradation) and PEAKS_PER_SEC 20 -> 30 (denser constellation survives
+# mic-chain rank churn).  Measured on the 1,001-track corpus vs v1:
+# top1_mic 0.762 -> 0.857, snr0-white 0.462 -> 0.846, snr0-babble
+# 0.571 -> 1.0, clean 1.0, FPR 0 (scripts/exp_v2.py harness).  v1 indexes
+# must be rebuilt from the raw blob store (service CLI `rebuild-index`).
+FORMAT_VERSION = 2
 
 # --- Audio front-end (exact lane) -------------------------------------------
 SAMPLE_RATE = 16_000          # Hz, mono float32 (matches reference Olaf input,
@@ -42,7 +50,14 @@ N_BINS = N_FFT // 2           # spectrogram bins kept (512; the Nyquist bin
 # --- Peak picking ------------------------------------------------------------
 PEAK_TIME_RADIUS = 3          # local-max neighborhood, frames (+/-)
 PEAK_FREQ_RADIUS = 9          # local-max neighborhood, bins (+/-)
-PEAKS_PER_SEC = 20            # global salience top-K density
+# Salience subtraction box (the local-mean estimate that log-magnitude is
+# contrasted against).  Independent from the local-max radii: a WIDE time
+# radius turns the subtraction into temporal whitening — stationary noise
+# floors (white/pink/babble) and reverb tails are subtracted out, so peak
+# RANK ordering stays stable under additive noise and mic capture.
+SUB_TIME_RADIUS = 31          # frames (+/-) for the salience box mean (v2)
+SUB_FREQ_RADIUS = 9           # bins (+/-) for the salience box mean
+PEAKS_PER_SEC = 30            # global salience top-K density (v2: was 20)
 PEAKS_PER_FRAME_CAP = 6       # per-frame preselect width (stage 1)
 MIN_FREQ_BIN = 2              # ignore DC / lowest bins (rumble)
 MAX_FREQ_BIN = 511            # keep anchor freq in 9 bits [0, 511]

@@ -63,6 +63,11 @@ class Variant:
     # optional wide-band whitening: subtract a freq-smoothed envelope
     # (radius in bins; 0 = off) from logmag before salience
     whiten_radius: int = 0
+    # salience subtraction box (defaults to the local-max radii); a WIDE
+    # time radius turns the subtraction into temporal whitening that
+    # suppresses reverb tails / stationary noise floors
+    sub_time_radius: int | None = None
+    sub_freq_radius: int | None = None
     extras: dict = field(default_factory=dict)
 
 
@@ -115,7 +120,9 @@ def salience_q(mag: np.ndarray, v: Variant) -> np.ndarray:
         # per-frame frequency-envelope whitening (wide box along freq only)
         env = box_mean_2d(logmag, 0, v.whiten_radius)
         logmag = logmag - env
-    sal = logmag - box_mean_2d(logmag, v.time_radius, v.freq_radius)
+    str_ = v.sub_time_radius if v.sub_time_radius is not None else v.time_radius
+    sfr = v.sub_freq_radius if v.sub_freq_radius is not None else v.freq_radius
+    sal = logmag - box_mean_2d(logmag, str_, sfr)
     return np.floor(sal * np.float32(spec.SALIENCE_QUANT)).astype(np.int32)
 
 
@@ -439,6 +446,37 @@ VARIANTS = {
     "banded_b": Variant("banded_b", per_cell=4),
     "banded_w": Variant("banded_w", whiten_radius=48),
     "banded_wq": Variant("banded_wq", whiten_radius=48, q_min=32),
+    # v1-style global selection + signal-conditioning levers
+    "global_w": Variant("global_w", mode="global", whiten_radius=48),
+    "global_tw": Variant("global_tw", mode="global", sub_time_radius=31),
+    "global_d30": Variant("global_d30", mode="global", peaks_per_sec=30),
+    "global_w_d30": Variant(
+        "global_w_d30", mode="global", whiten_radius=48, peaks_per_sec=30
+    ),
+    "global_tw_d30": Variant(
+        "global_tw_d30", mode="global", sub_time_radius=31, peaks_per_sec=30
+    ),
+    # time-whitening radius / freq-radius sweep around the tw winner
+    "tw15": Variant("tw15", mode="global", sub_time_radius=15),
+    "tw63": Variant("tw63", mode="global", sub_time_radius=63),
+    "tw31_f18": Variant(
+        "tw31_f18", mode="global", sub_time_radius=31, sub_freq_radius=18
+    ),
+    "tw31_q64": Variant("tw31_q64", mode="global", sub_time_radius=31, q_min=64),
+    # refinements around the tw31+d30 winner
+    "tw15_d30": Variant(
+        "tw15_d30", mode="global", sub_time_radius=15, peaks_per_sec=30
+    ),
+    "tw63_d30": Variant(
+        "tw63_d30", mode="global", sub_time_radius=63, peaks_per_sec=30
+    ),
+    "tw31_f18_d30": Variant(
+        "tw31_f18_d30", mode="global", sub_time_radius=31, sub_freq_radius=18,
+        peaks_per_sec=30,
+    ),
+    "tw31_d25": Variant(
+        "tw31_d25", mode="global", sub_time_radius=31, peaks_per_sec=25
+    ),
 }
 
 

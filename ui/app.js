@@ -165,14 +165,14 @@ function renderResults(res) {
       <div class="match">
         <a href="#/tracks/${encodeURIComponent(m.track.id)}"><strong>${esc(m.track.title)}</strong></a>
         <span>${esc(m.track.artist ?? "")}</span>
-        <span class="conf">conf ${(m.confidence * 100).toFixed(0)}%</span>
-        <span class="dim">offset ${m.offset_seconds?.toFixed(1) ?? "?"}s · ${Number(m.aligned_hashes)} hashes</span>
+        <span class="conf">conf ${esc((m.confidence * 100).toFixed(0))}%</span>
+        <span class="dim">offset ${esc(m.offset_seconds?.toFixed(1) ?? "?")}s · ${Number(m.aligned_hashes)} hashes</span>
       </div>`) +
     lane("Vibe matches", res.vibe_matches, (m) => `
       <div class="match">
         <a href="#/tracks/${encodeURIComponent(m.track.id)}"><strong>${esc(m.track.title)}</strong></a>
         <span>${esc(m.track.artist ?? "")}</span>
-        <span class="conf">sim ${(m.similarity * 100).toFixed(0)}%</span>
+        <span class="conf">sim ${esc((m.similarity * 100).toFixed(0))}%</span>
       </div>`);
 }
 
@@ -197,7 +197,7 @@ async function renderTracks(page = 1, search = "") {
           <div class="match">
             <a href="#/tracks/${encodeURIComponent(t.id)}"><strong>${esc(t.title)}</strong></a>
             <span>${esc(t.artist ?? "")}</span>
-            <span class="dim">${fmtDur(t.duration_seconds)}</span>
+            <span class="dim">${esc(fmtDur(t.duration_seconds))}</span>
           </div>`).join("")
       : "<p class='dim'>no tracks</p>";
     const { page: p, totalPages } = res.pagination;
@@ -226,10 +226,10 @@ async function renderTrackDetail(id) {
         <table>
           <tr><td>artist</td><td>${esc(t.artist ?? "—")}</td></tr>
           <tr><td>album</td><td>${esc(t.album ?? "—")}</td></tr>
-          <tr><td>duration</td><td>${fmtDur(t.duration_seconds)}</td></tr>
+          <tr><td>duration</td><td>${esc(fmtDur(t.duration_seconds))}</td></tr>
           <tr><td>format</td><td>${esc(t.format ?? "—")} · ${esc(t.sample_rate ?? "?")} Hz · ${esc(t.channels ?? "?")}ch</td></tr>
           <tr><td>sha256</td><td class="mono">${esc(t.file_hash_sha256)}</td></tr>
-          <tr><td>fingerprinted</td><td>${t.olaf_indexed ? "yes" : "no"}</td></tr>
+          <tr><td>fingerprinted</td><td>${esc(t.olaf_indexed ? "yes" : "no")}</td></tr>
           <tr><td>embeddings</td><td>${t.embedding_model ? `${esc(t.embedding_model)} (${Number(t.embedding_dim)}d)` : "—"}</td></tr>
           <tr><td>ingested</td><td>${esc(t.ingested_at)}</td></tr>
         </table>
