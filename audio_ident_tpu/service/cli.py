@@ -46,12 +46,13 @@ def _build_state(settings):
     return catalog, engine
 
 
-async def _run_ingest(settings, directory: Path) -> int:
+async def _run_ingest(settings, directory: Path, rebind_existing: bool = False) -> int:
     from audio_ident_tpu.service.ingest import ingest_directory
 
     catalog, engine = _build_state(settings)
     report = await ingest_directory(
-        directory, settings=settings, catalog=catalog, engine=engine
+        directory, settings=settings, catalog=catalog, engine=engine,
+        rebind_existing=rebind_existing,
     )
     print(
         f"total={report.total} ingested={report.ingested} "
@@ -73,7 +74,13 @@ async def _run_ingest(settings, directory: Path) -> int:
 
 
 async def _run_rebuild(settings) -> int:
-    """Drop derived indexes + catalog rows and re-ingest from raw/."""
+    """Drop DERIVED indexes and re-ingest from raw/.
+
+    The catalog is source-of-truth metadata and is PRESERVED: each raw blob
+    whose hash already has a catalog row is re-indexed under that row (same
+    uuid/title/artist), so a rebuild — e.g. after a fingerprint
+    FORMAT_VERSION bump — never loses track identity (reference:
+    Makefile:96-107 re-derives only the fingerprint/vector stores)."""
     raw = settings.storage_root / "raw"
     if not raw.is_dir():
         print(f"no raw blob store at {raw}", file=sys.stderr)
@@ -82,10 +89,7 @@ async def _run_rebuild(settings) -> int:
         if Path(derived).exists():
             shutil.rmtree(derived)
             print(f"dropped {derived}")
-    if settings.catalog_file.exists():
-        settings.catalog_file.unlink()
-        print(f"dropped {settings.catalog_file}")
-    return await _run_ingest(settings, raw)
+    return await _run_ingest(settings, raw, rebind_existing=True)
 
 
 async def _run_snapshot(settings) -> int:

@@ -67,13 +67,24 @@ async def ingest_bytes(
     settings: Settings,
     catalog: Catalog,
     engine: EngineState,
+    rebind_existing: bool = False,
 ) -> IngestOutcome:
-    """Ingest one in-memory audio file (steps 1-7 above)."""
+    """Ingest one in-memory audio file (steps 1-7 above).
+
+    ``rebind_existing`` is the rebuild-index mode: a file whose hash already
+    has a catalog row is re-fingerprinted and re-indexed UNDER THAT ROW
+    (same uuid/title/artist) instead of being skipped as a duplicate — the
+    catalog is source-of-truth metadata that an index rebuild must preserve
+    (reference: Makefile:96-107 re-derives indexes, never the catalog)."""
     # 1. exact file dedup
     sha256 = await asyncio.to_thread(audio_io.compute_sha256, data)
     existing = await catalog.a_find_by_hash(sha256)
     if existing is not None:
-        return IngestOutcome(status="duplicate", track=existing)
+        if not rebind_existing:
+            return IngestOutcome(status="duplicate", track=existing)
+        return await _reindex_existing(
+            data, existing, settings=settings, catalog=catalog, engine=engine
+        )
 
     # 2. sniff + metadata
     sniffed = audio_io.sniff_format(data)
@@ -193,6 +204,53 @@ async def ingest_bytes(
     return IngestOutcome(status="ingested", track=track)
 
 
+async def _reindex_existing(
+    data: bytes,
+    existing: TrackRow,
+    *,
+    settings: Settings,
+    catalog: Catalog,
+    engine: EngineState,
+) -> IngestOutcome:
+    """Re-derive fingerprint + embeddings for a track that already has a
+    catalog row (rebuild-index path).  Metadata, uuid, and the blob are
+    kept; only derived state is recomputed — e.g. after a fingerprint
+    FORMAT_VERSION bump."""
+    try:
+        decoded = await audio_io.decode_audio(data, existing.format)
+    except audio_io.DecodeError as e:
+        return IngestOutcome(
+            status="error", error_code="UNSUPPORTED_FORMAT",
+            error_message=f"Failed to decode audio: {e}",
+        )
+    pcm_16k = await asyncio.to_thread(resample_to_16k, decoded.pcm, decoded.sample_rate)
+    try:
+        await engine.fingerprint_and_index(existing.id, pcm_16k)
+    except Exception as e:  # noqa: BLE001 — map engine failure to pipeline error
+        logger.exception("re-index failed for %s", existing.id)
+        return IngestOutcome(
+            status="error", error_code="SERVICE_UNAVAILABLE",
+            error_message=f"Fingerprint indexing failed: {e}",
+        )
+    n_chunks = 0
+    if engine.vibe_enabled:
+        pcm_48k = await asyncio.to_thread(
+            resample_to_48k, decoded.pcm, decoded.sample_rate
+        )
+        try:
+            n_chunks = await engine.embed_and_store(existing.id, pcm_48k)
+        except Exception:  # noqa: BLE001 — vibe failure degrades, not fatal
+            logger.exception("chunk embedding failed for %s", existing.id)
+    await catalog.a_update_track(
+        existing.id,
+        fp_indexed=1,
+        embedding_model=settings.embedding_model if n_chunks else None,
+        embedding_dim=settings.embedding_dim if n_chunks else None,
+    )
+    logger.info("re-indexed %s (%s)", existing.id, existing.title)
+    return IngestOutcome(status="ingested", track=existing)
+
+
 def _write_blob(path: Path, data: bytes) -> None:
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_bytes(data)
@@ -204,6 +262,7 @@ async def ingest_directory(
     settings: Settings,
     catalog: Catalog,
     engine: EngineState,
+    rebind_existing: bool = False,
 ) -> BatchReport:
     """Sequential batch ingestion of a server-side directory."""
     root = Path(directory)
@@ -216,7 +275,8 @@ async def ingest_directory(
         try:
             data = await asyncio.to_thread(p.read_bytes)
             outcome = await ingest_bytes(
-                data, p.name, settings=settings, catalog=catalog, engine=engine
+                data, p.name, settings=settings, catalog=catalog, engine=engine,
+                rebind_existing=rebind_existing,
             )
         except Exception as e:  # noqa: BLE001 — batch isolates per-file failures
             logger.exception("ingest failed for %s", p)

@@ -1,6 +1,7 @@
 """CLI: batch ingest, snapshot persistence, rebuild-from-raw recovery
-(the reference's `make rebuild-index` semantics: raw/ is the source of
-truth, indexes and catalog are derived)."""
+(the reference's `make rebuild-index` semantics: raw/ + catalog are the
+source of truth, fingerprint/vector indexes are derived — a rebuild must
+preserve track uuids and titles, reference: Makefile:96-107)."""
 
 import os
 
@@ -44,11 +45,43 @@ def test_cli_ingest_and_rebuild(env, capsys):
     assert main(["ingest", str(lib)]) == 0
     assert "duplicates=2" in capsys.readouterr().out
 
-    # rebuild: drops derived state, re-derives from raw/
+    # rebuild: drops derived indexes, re-derives from raw/ — and PRESERVES
+    # the catalog (uuid + title survive; r3 regression: the old rebuild
+    # dropped the catalog, so every track re-titled to its content hash
+    # and eval ground-truth mapping broke)
+    from audio_ident_tpu.service.catalog import Catalog
+    from audio_ident_tpu.service.settings import load_settings
+
+    settings = load_settings()
+    cat = Catalog(settings.catalog_file)
+    before = {r.id: r.title for r in cat.list_tracks(page=1, page_size=50)[0]}
+    cat.close()
+    assert sorted(before.values()) == ["track0", "track1"]
+
     assert main(["rebuild-index"]) == 0
     out = capsys.readouterr().out
     assert "ingested=2" in out
     assert (data / "fp_index" / "MANIFEST.json").exists()
+
+    cat = Catalog(settings.catalog_file)
+    after = {r.id: r.title for r in cat.list_tracks(page=1, page_size=50)[0]}
+    cat.close()
+    assert after == before  # same uuids, same titles
+
+    # the rebuilt index binds postings to the PRESERVED uuids: a direct
+    # query of one library file must identify its original track id
+    from audio_ident_tpu.index.match import DeviceIndex
+    from audio_ident_tpu.index.store import FingerprintIndex
+    from audio_ident_tpu.search.exact import ExactLane
+    from audio_ident_tpu.service.audio import decode_wav
+
+    fp = FingerprintIndex.load(settings.index_dir)
+    lane = ExactLane(DeviceIndex.from_host(fp))
+    pcm = decode_wav((lib / "track0.wav").read_bytes()).pcm
+    results = lane.search(pcm, max_results=1)
+    assert results
+    matched_uuid = fp.uuid_of(results[0].track_row)
+    assert before[matched_uuid] == "track0"
 
 
 def test_cli_snapshot(env, capsys):
