@@ -171,29 +171,50 @@ def log_magnitude_jax(
 # ---------------------------------------------------------------------------
 
 
-def _box_mean_jax(logmag: jnp.ndarray) -> jnp.ndarray:
-    """Zero-padded box sum / true neighbor count (mirrors _box_mean).
+def _win_reduce(a, axis: int, out_len: int, terms: int, stride: int, op):
+    """``out[c] = op-fold of a[c + j*stride] for j in [0, terms)`` along
+    ``axis``, built from shifted slices with a FIXED hierarchical grouping:
+    groups of 3 are folded into a pyramid (s3 -> s9 -> s27 ...), so a
+    63-wide window costs 8 shifted ops instead of 62 and a 19-wide one 6
+    instead of 18.  The grouping is part of the frozen arithmetic: the XLA
+    path and the fused Pallas kernel both execute THIS expression tree, so
+    their f32 roundings are bit-identical (for integer ops the grouping is
+    exact anyway)."""
 
-    Separable: two 1-D reduce_windows (5x fewer VPU ops than the 2-D one).
-    """
+    def sl(arr, s, ln):
+        return arr[s : s + ln] if axis == 0 else arr[:, s : s + ln]
+
+    if terms <= 4:
+        r = sl(a, 0, out_len)
+        for j in range(1, terms):
+            r = op(r, sl(a, j * stride, out_len))
+        return r
+    q, rem = divmod(terms, 3)
+    ln3 = out_len + stride * 3 * (q - 1)
+    s3 = op(op(sl(a, 0, ln3), sl(a, stride, ln3)), sl(a, 2 * stride, ln3))
+    r = _win_reduce(s3, axis, out_len, q, 3 * stride, op)
+    for j in range(rem):
+        r = op(r, sl(a, (3 * q + j) * stride, out_len))
+    return r
+
+
+def box_reduce_2d(x, t_r: int, f_r: int, op=jnp.add, pad_value=0):
+    """Separable (2*t_r+1) x (2*f_r+1) windowed reduction of [T, F] with
+    constant padding, via the hierarchical shifted-slice grouping above.
+    Shared by the XLA salience path and the fused Pallas kernel (jnp ops
+    trace fine inside pallas)."""
+    tdim, fdim = x.shape
+    xp = jnp.pad(x, ((t_r, t_r), (0, 0)), constant_values=pad_value)
+    st = _win_reduce(xp, 0, tdim, 2 * t_r + 1, 1, op)
+    sp = jnp.pad(st, ((0, 0), (f_r, f_r)), constant_values=pad_value)
+    return _win_reduce(sp, 1, fdim, 2 * f_r + 1, 1, op)
+
+
+def _box_mean_jax(logmag: jnp.ndarray) -> jnp.ndarray:
+    """Zero-padded box sum / true neighbor count (mirrors _box_mean)."""
     t_r, f_r = spec.SUB_TIME_RADIUS, spec.SUB_FREQ_RADIUS
     tdim, fdim = logmag.shape
-    summed = jax.lax.reduce_window(
-        logmag,
-        jnp.float32(0.0),
-        jax.lax.add,
-        window_dimensions=(2 * t_r + 1, 1),
-        window_strides=(1, 1),
-        padding="SAME",
-    )
-    summed = jax.lax.reduce_window(
-        summed,
-        jnp.float32(0.0),
-        jax.lax.add,
-        window_dimensions=(1, 2 * f_r + 1),
-        window_strides=(1, 1),
-        padding="SAME",
-    )
+    summed = box_reduce_2d(logmag, t_r, f_r)
     ti = jnp.arange(tdim)
     fi = jnp.arange(fdim)
     count_t = jnp.minimum(ti + t_r, tdim - 1) - jnp.maximum(ti - t_r, 0) + 1
@@ -217,22 +238,12 @@ def _tie_key_jax(q: jnp.ndarray) -> jnp.ndarray:
 
 def _local_max_mask_jax(q: jnp.ndarray) -> jnp.ndarray:
     key = _tie_key_jax(q)
-    init = jnp.int32(-(2**31) + 1)
-    pooled = jax.lax.reduce_window(
+    pooled = box_reduce_2d(
         key,
-        init,
-        jax.lax.max,
-        window_dimensions=(2 * spec.PEAK_TIME_RADIUS + 1, 1),
-        window_strides=(1, 1),
-        padding="SAME",
-    )
-    pooled = jax.lax.reduce_window(
-        pooled,
-        init,
-        jax.lax.max,
-        window_dimensions=(1, 2 * spec.PEAK_FREQ_RADIUS + 1),
-        window_strides=(1, 1),
-        padding="SAME",
+        spec.PEAK_TIME_RADIUS,
+        spec.PEAK_FREQ_RADIUS,
+        op=jnp.maximum,
+        pad_value=-(2**31) + 1,
     )
     return key == pooled
 

@@ -53,7 +53,9 @@ HALO = max(
     8,
     -(-(spec.SUB_TIME_RADIUS + spec.PEAK_TIME_RADIUS + 2) // 8) * 8,
 )
-MAX_TILE = 512           # frames per grid tile (VMEM budget ~30 MB/program)
+MAX_TILE = 768           # frames per grid tile (~26 MB/program VMEM; one
+                         # tile covers a 10 s clip so its DFT pays the
+                         # HALO recompute once, not per tile)
 _RATIO = spec.N_FFT // spec.HOP  # 4 hop blocks per frame
 
 
@@ -115,17 +117,13 @@ def _make_kernel(tt: int, t_total: int):
         lm = jnp.where(in_clip, lm, jnp.float32(0.0))
 
         # --- box mean: zero-padded shifted adds / true neighbor count ------
-        # (identical arithmetic to ops.fingerprint._box_mean_jax; rows whose
+        # (box_reduce_2d is the SAME hierarchical expression tree the XLA
+        # path executes, so f32 roundings are bit-identical; rows whose
         # box window reaches outside the scratch are never consumed — the
         # HALO leaves slack beyond the local-max + subtraction reach)
-        xp = jnp.pad(lm, ((s_t, s_t), (0, 0)))
-        st = xp[0:rows]
-        for k in range(1, 2 * s_t + 1):
-            st = st + xp[k : k + rows]
-        sp = jnp.pad(st, ((0, 0), (s_f, s_f)))
-        sf = sp[:, 0:fdim]
-        for k in range(1, 2 * s_f + 1):
-            sf = sf + sp[:, k : k + fdim]
+        from audio_ident_tpu.ops.fingerprint import box_reduce_2d
+
+        sf = box_reduce_2d(lm, s_t, s_f)
 
         gtc = jnp.clip(gt, 0, t_total - 1)
         count_t = (
@@ -140,15 +138,9 @@ def _make_kernel(tt: int, t_total: int):
         key = q * 1024 + (gtc % 32) * 32 + (fi % 32)
         key = jnp.where(in_clip, key, jnp.int32(NEG))
 
-        # --- local max over the same window (shifted max, NEG padding) -----
-        kp = jnp.pad(key, ((t_r, t_r), (0, 0)), constant_values=NEG)
-        mt = kp[0:rows]
-        for k in range(1, 2 * t_r + 1):
-            mt = jnp.maximum(mt, kp[k : k + rows])
-        mp = jnp.pad(mt, ((0, 0), (f_r, f_r)), constant_values=NEG)
-        mf = mp[:, 0:fdim]
-        for k in range(1, 2 * f_r + 1):
-            mf = jnp.maximum(mf, mp[:, k : k + fdim])
+        # --- local max over the peak window (int32 max: any grouping is
+        # exact, so the hierarchical tree is a pure op-count win) ----------
+        mf = box_reduce_2d(key, t_r, f_r, op=jnp.maximum, pad_value=NEG)
 
         is_peak = (
             (key == mf)

@@ -45,7 +45,9 @@ def test_fused_matches_xla_and_golden(seconds):
 def test_fused_multi_tile_matches_xla():
     # long enough that the grid uses >1 frame tile: halo rows must see true
     # neighbor values, not tile-local padding
-    seconds = (spec.num_frames(0) + 700) * spec.HOP / spec.SAMPLE_RATE + 1
+    from audio_ident_tpu.ops.fused_frontend import MAX_TILE
+
+    seconds = (spec.num_frames(0) + MAX_TILE + 200) * spec.HOP / spec.SAMPLE_RATE + 1
     x = synth_audio(np.random.default_rng(78), seconds)
     n_tiles, _ = plan_tiles(spec.num_frames(len(x)))
     assert n_tiles >= 2
