@@ -83,7 +83,20 @@ def load_arrays(path: str | Path) -> dict[str, np.ndarray]:
 
 
 def atomic_write_text(path: str | Path, text: str) -> None:
+    """Atomic + durable: fsync the tmp file before the rename and the
+    directory after it.  The snapshot MANIFEST is the commit point that
+    authorizes WAL truncation — if the rename itself isn't durable, a
+    power loss after ``commit_snapshot`` deleted the sealed segments
+    could leave neither the WAL nor the new manifest on disk."""
     path = Path(path)
     tmp = path.with_name(path.name + ".tmp")
-    tmp.write_text(text)
+    with open(tmp, "w") as fh:
+        fh.write(text)
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp, path)
+    dir_fd = os.open(path.parent, os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)
+    finally:
+        os.close(dir_fd)

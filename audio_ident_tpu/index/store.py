@@ -50,27 +50,45 @@ class IndexSnapshot:
     row_to_uuid: list[str]
     max_tracks: int
     version: int
+    merge_gen: int = 0
 
 
 def write_snapshot(path: str | Path, snap: IndexSnapshot) -> None:
     """Stream a frozen snapshot to disk (safe to run off-lock).
 
-    Layout: ``index-<version>.snap`` + ``registry-<version>.json``, then an
-    atomically-replaced ``MANIFEST.json`` naming the pair; older
-    generations are garbage-collected after the manifest flips.  A crash at
-    any point leaves either the previous complete snapshot or the new one.
+    Incremental layout (round 3): the main CSR — by far the biggest part,
+    ~46 GB at the 1M-track target — changes ONLY at LSM compaction, so it
+    is written once per merge generation as ``main-<gen>.snap`` and reused
+    by every later snapshot until the next compaction.  The per-snapshot
+    cost is just the delta + registry (``delta-<version>.snap`` +
+    ``registry-<version>.json``).  Round 2's monolithic layout rewrote the
+    full CSR on every snapshot (110 s at 100k tracks, ~20 min extrapolated
+    at 1M — unusable as a periodic checkpoint).
+
+    An atomically-replaced, fsynced ``MANIFEST.json`` names the trio;
+    unreferenced generations are garbage-collected after the manifest
+    flips.  A crash at any point leaves either the previous complete
+    snapshot or the new one.
     """
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
-    snap_name = f"index-{snap.version:012d}.snap"
+    main_name = f"main-{snap.merge_gen:012d}.snap"
+    delta_name = f"delta-{snap.version:012d}.snap"
     reg_name = f"registry-{snap.version:012d}.json"
+    if not (path / main_name).exists():
+        snapio.save_arrays(
+            path / main_name,
+            {
+                "format_version": np.array(spec.FORMAT_VERSION, np.int32),
+                "offsets": snap.offsets,
+                "tracks": snap.tracks,
+                "times": snap.times,
+            },
+        )
     snapio.save_arrays(
-        path / snap_name,
+        path / delta_name,
         {
             "format_version": np.array(spec.FORMAT_VERSION, np.int32),
-            "offsets": snap.offsets,
-            "tracks": snap.tracks,
-            "times": snap.times,
             "d_hash": snap.d_hash,
             "d_track": snap.d_track,
             "d_time": snap.d_time,
@@ -83,15 +101,23 @@ def write_snapshot(path: str | Path, snap: IndexSnapshot) -> None:
     )
     snapio.atomic_write_text(
         path / "MANIFEST.json",
-        json.dumps({"index": snap_name, "registry": reg_name, "version": snap.version}),
+        json.dumps(
+            {
+                "main": main_name,
+                "delta": delta_name,
+                "registry": reg_name,
+                "version": snap.version,
+                "merge_gen": snap.merge_gen,
+            }
+        ),
     )
-    # GC superseded generations (manifest already points at the new pair)
-    for f in path.glob("index-*.snap"):
-        if f.name != snap_name:
-            f.unlink(missing_ok=True)
-    for f in path.glob("registry-*.json"):
-        if f.name != reg_name:
-            f.unlink(missing_ok=True)
+    # GC superseded generations (manifest already points at the new trio)
+    keep = {main_name, delta_name, reg_name}
+    for pattern in ("main-*.snap", "delta-*.snap", "registry-*.json",
+                    "index-*.snap", "*.tmp"):
+        for f in path.glob(pattern):
+            if f.name not in keep:
+                f.unlink(missing_ok=True)
 
 
 class FingerprintIndex:
@@ -117,6 +143,10 @@ class FingerprintIndex:
         self.row_to_uuid: list[str] = []
         self.uuid_to_row: dict[str, int] = {}
         self.version = 0  # bumped on every mutation (device cache key)
+        # bumped only by apply_merge: keys the on-disk main-CSR snapshot
+        # file, which is immutable between compactions (incremental
+        # snapshots reuse it instead of rewriting ~46 GB per checkpoint)
+        self.merge_gen = 0
 
     # -- registry ------------------------------------------------------------
 
@@ -236,6 +266,7 @@ class FingerprintIndex:
         self.d_track = np.zeros(0, dtype=np.int32)
         self.d_time = np.zeros(0, dtype=np.int32)
         self.version += 1
+        self.merge_gen += 1
 
     # -- durability ----------------------------------------------------------
 
@@ -254,6 +285,7 @@ class FingerprintIndex:
             row_to_uuid=list(self.row_to_uuid),
             max_tracks=self.max_tracks,
             version=self.version,
+            merge_gen=self.merge_gen,
         )
 
     def save(self, path: str | Path) -> None:
@@ -265,10 +297,16 @@ class FingerprintIndex:
     def load(cls, path: str | Path) -> "FingerprintIndex":
         path = Path(path)
         manifest_path = path / "MANIFEST.json"
+        merge_gen = 0
         if manifest_path.exists():
             manifest = json.loads(manifest_path.read_text())
             reg = json.loads((path / manifest["registry"]).read_text())
-            data = snapio.load_arrays(path / manifest["index"])
+            if "main" in manifest:  # round-3 incremental layout
+                data = snapio.load_arrays(path / manifest["main"])
+                data.update(snapio.load_arrays(path / manifest["delta"]))
+                merge_gen = int(manifest.get("merge_gen", 0))
+            else:  # round-2 monolithic layout
+                data = snapio.load_arrays(path / manifest["index"])
         elif (path / "index.npz").exists():  # round-1 legacy layout
             reg = json.loads((path / "registry.json").read_text())
             data = dict(np.load(path / "index.npz"))
@@ -289,6 +327,7 @@ class FingerprintIndex:
         idx.track_valid = np.array(data["track_valid"], dtype=bool)
         idx.row_to_uuid = list(reg["rows"])
         idx.uuid_to_row = {u: i for i, u in enumerate(idx.row_to_uuid)}
+        idx.merge_gen = merge_gen
         return idx
 
 

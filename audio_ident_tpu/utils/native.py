@@ -77,6 +77,9 @@ def native_lib() -> ctypes.CDLL | None:
             i32p, i32p, i64p,
         ]
         lib.ai_merge_csr.restype = ctypes.c_int64
+    if hasattr(lib, "ai_count_live"):
+        lib.ai_count_live.argtypes = [i32p, ctypes.c_int64, u8p, ctypes.c_int64]
+        lib.ai_count_live.restype = ctypes.c_int64
     lib.ai_hamming_batch.argtypes = [
         u32p, ctypes.c_int64, u32p, i64p, ctypes.c_int64, f64p,
     ]
@@ -172,28 +175,39 @@ def merge_postings_csr(
     Returns (tracks, times, offsets[HASH_SPACE+1] int64).
     """
     lib = native_lib()
-    n_total = len(r_a) + len(h_b)
     if (
         lib is not None
         and hasattr(lib, "ai_merge_csr")
         and _check_bounds(np.asarray(r_a), np.asarray(t_a))
         and _check_bounds(np.asarray(r_b), np.asarray(t_b))
     ):
-        r_out = np.empty(n_total, np.int32)
-        t_out = np.empty(n_total, np.int32)
-        offsets = np.empty(spec.HASH_SPACE + 1, np.int64)
         tv = np.ascontiguousarray(track_valid, np.uint8)
+        ra = np.ascontiguousarray(r_a, np.int32)
+        rb = np.ascontiguousarray(r_b, np.int32)
+        if hasattr(lib, "ai_count_live"):
+            # exact-size outputs: skip the main+delta upper-bound alloc
+            # AND the prefix copy (each a full-index slab at scale)
+            n_out = lib.ai_count_live(ra, len(ra), tv, len(tv)) + lib.ai_count_live(
+                rb, len(rb), tv, len(tv)
+            )
+        else:
+            n_out = len(ra) + len(rb)
+        r_out = np.empty(n_out, np.int32)
+        t_out = np.empty(n_out, np.int32)
+        offsets = np.empty(spec.HASH_SPACE + 1, np.int64)
         n = lib.ai_merge_csr(
             np.ascontiguousarray(offsets_a, np.int64),
-            np.ascontiguousarray(r_a, np.int32),
+            ra,
             np.ascontiguousarray(t_a, np.int32),
             np.ascontiguousarray(h_b, np.int32),
-            np.ascontiguousarray(r_b, np.int32),
+            rb,
             np.ascontiguousarray(t_b, np.int32),
-            len(h_b),
+            len(rb),
             tv, len(tv), spec.HASH_SPACE,
             r_out, t_out, offsets,
         )
+        if n == n_out:
+            return r_out, t_out, offsets
         return r_out[:n].copy(), t_out[:n].copy(), offsets
     # NumPy fallback (test scale only): rebuild main hashes from offsets
     counts = np.diff(np.asarray(offsets_a, np.int64))

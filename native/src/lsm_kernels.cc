@@ -144,6 +144,20 @@ int64_t ai_merge_csr(
   return out;
 }
 
+// Count postings whose track survives the tombstone filter — lets the
+// merge caller allocate EXACT-size outputs instead of main+delta upper
+// bound + prefix copy (round 2's extra full-index copy was the biggest
+// single slab in the measured 22.5 GB compaction spike at 576M postings).
+int64_t ai_count_live(const int32_t* r, int64_t n,
+                      const uint8_t* track_valid, int64_t max_tracks) {
+  int64_t live = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t t = r[i];
+    live += (t >= 0 && t < max_tracks && track_valid[t]) ? 1 : 0;
+  }
+  return live;
+}
+
 // Bitwise similarity of one uint32 fingerprint against n_cand candidates
 // (concatenated, each cand_len words; compares the common prefix of each).
 void ai_hamming_batch(

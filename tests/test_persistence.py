@@ -65,3 +65,98 @@ async def test_restart_preserves_index_and_catalog(tmp_path):
         top = r.json()["exact_matches"][0]
         assert top["track"]["id"] == tid
         assert abs(top["offset_seconds"] - 3.0) < 0.5
+
+
+def _fake_postings(rng, n):
+    from audio_ident_tpu import spec
+
+    h = rng.integers(0, spec.HASH_SPACE, n).astype(np.int64)
+    t = rng.integers(0, 3000, n).astype(np.int32)
+    return h, t
+
+
+def test_incremental_snapshot_reuses_main_csr(tmp_path):
+    """Snapshots between compactions must NOT rewrite the main CSR file
+    (round 2 rewrote ~46 GB per checkpoint at the 1M-track target)."""
+    from audio_ident_tpu.index.store import FingerprintIndex, write_snapshot
+
+    rng = np.random.default_rng(11)
+    idx = FingerprintIndex(max_tracks=64)
+    idx.add_track("00000000-0000-0000-0000-000000000001", *_fake_postings(rng, 500))
+    idx.merge_delta()  # postings land in the main CSR
+    write_snapshot(tmp_path, idx.freeze())
+    import json as _json
+
+    man1 = _json.loads((tmp_path / "MANIFEST.json").read_text())
+    main_stat1 = (tmp_path / man1["main"]).stat()
+
+    # more ingests, NO compaction -> main file untouched, delta rewritten
+    idx.add_track("00000000-0000-0000-0000-000000000002", *_fake_postings(rng, 500))
+    write_snapshot(tmp_path, idx.freeze())
+    man2 = _json.loads((tmp_path / "MANIFEST.json").read_text())
+    assert man2["main"] == man1["main"]
+    st = (tmp_path / man2["main"]).stat()
+    assert (st.st_mtime_ns, st.st_ino) == (main_stat1.st_mtime_ns, main_stat1.st_ino)
+    assert man2["delta"] != man1["delta"]
+
+    # compaction -> a NEW main generation; the old one is GC'd
+    idx.merge_delta()
+    write_snapshot(tmp_path, idx.freeze())
+    man3 = _json.loads((tmp_path / "MANIFEST.json").read_text())
+    assert man3["main"] != man1["main"]
+    assert not (tmp_path / man1["main"]).exists()
+
+    # the loaded index round-trips (both tracks, correct merge_gen)
+    idx2 = FingerprintIndex.load(tmp_path)
+    assert idx2.num_tracks == 2
+    assert idx2.merge_gen == idx.merge_gen
+    assert idx2.num_postings == idx.num_postings
+    np.testing.assert_array_equal(idx2.offsets, idx.offsets)
+    np.testing.assert_array_equal(idx2.tracks, idx.tracks)
+
+
+def test_load_round2_monolithic_layout(tmp_path):
+    """Old on-disk snapshots (single index-<v>.snap) must keep loading."""
+    import json as _json
+
+    from audio_ident_tpu import spec
+    from audio_ident_tpu.index import snapio
+    from audio_ident_tpu.index.store import FingerprintIndex
+
+    rng = np.random.default_rng(12)
+    src = FingerprintIndex(max_tracks=64)
+    src.add_track("00000000-0000-0000-0000-00000000000a", *_fake_postings(rng, 300))
+    src.merge_delta()
+    src.add_track("00000000-0000-0000-0000-00000000000b", *_fake_postings(rng, 300))
+    src.flush()
+    snapio.save_arrays(
+        tmp_path / "index-000000000001.snap",
+        {
+            "format_version": np.array(spec.FORMAT_VERSION, np.int32),
+            "offsets": src.offsets,
+            "tracks": src.tracks,
+            "times": src.times,
+            "d_hash": src.d_hash,
+            "d_track": src.d_track,
+            "d_time": src.d_time,
+            "track_valid": src.track_valid,
+        },
+    )
+    snapio.atomic_write_text(
+        tmp_path / "registry-000000000001.json",
+        _json.dumps({"rows": src.row_to_uuid, "max_tracks": src.max_tracks}),
+    )
+    snapio.atomic_write_text(
+        tmp_path / "MANIFEST.json",
+        _json.dumps(
+            {
+                "index": "index-000000000001.snap",
+                "registry": "registry-000000000001.json",
+                "version": 1,
+            }
+        ),
+    )
+    idx = FingerprintIndex.load(tmp_path)
+    assert idx.num_tracks == 2
+    np.testing.assert_array_equal(idx.d_hash, src.d_hash)
+    np.testing.assert_array_equal(idx.tracks, src.tracks)

@@ -151,7 +151,8 @@ async def test_snapshot_absorbs_wal_and_is_atomic(tmp_path):
     assert not list(e1.wal.replay())
     assert snapshot_exists(idx_dir)
     manifest = json.loads((idx_dir / "MANIFEST.json").read_text())
-    assert (idx_dir / manifest["index"]).exists()
+    assert (idx_dir / manifest["main"]).exists()
+    assert (idx_dir / manifest["delta"]).exists()
     assert (idx_dir / manifest["registry"]).exists()
     # no tmp litter (atomic writes completed)
     assert not list(idx_dir.glob("*.tmp"))
