@@ -11,11 +11,12 @@ This kernel keeps one (clip, frame-tile) of everything VMEM-resident:
 
 Grid is (batch, n_tiles); each program DMAs its PCM window (with a
 ``HALO``-frame overlap so box-mean / local-max windows straddling tile
-boundaries see true neighbor values), builds frames by static hop-block
-shifts, runs the windowed-DFT as a single [ROWS, 1024] x [1024, 1024] MXU
-contraction in f32-HIGHEST (load-bearing for hash parity — see
-ops/fingerprint.log_magnitude_jax), then runs the identical salience /
-local-max / per-frame-top-P arithmetic as the XLA path entirely in VMEM.
+boundaries see true neighbor values), runs the hop-block DFT split (one
+[BLK, 256] x [256, 1280] MXU contraction in f32-HIGHEST shared across the
+4 frames containing each hop block, combined with exact {+-1, +-i}
+twiddles and a 3-tap frequency-domain Hann — see ``_block_dft_basis``),
+then runs the identical salience / local-max / per-frame-top-P arithmetic
+as the XLA path entirely in VMEM.
 
 Bit-parity contract: identical selection decisions to
 ``ops.fingerprint.select_peaks_jax`` stage 1 (same quantization, tie keys,
@@ -74,7 +75,44 @@ def _dft_bases() -> np.ndarray:
     return _b()
 
 
-def _make_kernel(tt: int, t_total: int):
+# Hop-block DFT split (round 3).  Frames overlap 4x (N_FFT = 4 * HOP), so
+# the UNWINDOWED frame DFT decomposes over hop blocks with twiddles
+# e^{-2pi i n k / 4} = i^{-nk} that are exactly {+-1, +-i} — the combine is
+# sign flips and re/im swaps, zero multiplies of data by data.  Each hop
+# block's 256-point-input DFT is computed ONCE and shared by the 4 frames
+# that contain it: 256x1280 MACs per block vs 1024x1024 per frame for the
+# dense formulation = 3.2x fewer MXU FLOPs.  The Hann window (periodic,
+# 0.5 - 0.5 cos) is applied exactly in the frequency domain as the 3-tap
+# convolution X_w[n] = 0.5 X[n] - 0.25 (X[n-1] + X[n+1]) with the real-
+# input mirror X[-1] = conj(X[1]) — an identity, not an approximation
+# (validated to 1e-13 in f64).  XLA's version of this split was measured
+# SLOWER (the mirror/twiddle chain round-trips HBM, ops/fingerprint.py
+# log_magnitude_jax docstring); inside the kernel everything stays in
+# VMEM, so the saved MXU passes are pure win.  f32 rounding differs from
+# the dense contraction — same near-tie-flip class as documented in
+# PARITY.md "parity fine print" (the quantized-decision design absorbs it;
+# hash sets on the eval corpus are unchanged).
+_HS_W = 640              # lane block per component: bins 0..512 + pad to 5*128
+
+
+@functools.lru_cache(maxsize=1)
+def _block_dft_basis() -> np.ndarray:
+    """[HOP, 2*_HS_W] f32: cols [0, 513) cos, [640, 1153) sin, bins 0..512.
+
+    D[j, n] = sum_m y[j*HOP + m] e^{-2pi i n m / N_FFT} for n in [0, 512].
+    Bin 512 (Nyquist) rides along because the Hann tap at n = 511 needs
+    X[512]; lanes 513..639 of each half are zero padding.
+    """
+    m = np.arange(spec.HOP, dtype=np.float64)
+    n = np.arange(spec.N_BINS + 1, dtype=np.float64)  # 513 bins
+    ang = -2.0 * np.pi * np.outer(m, n) / spec.N_FFT
+    out = np.zeros((spec.HOP, 2 * _HS_W), np.float32)
+    out[:, : spec.N_BINS + 1] = np.cos(ang)
+    out[:, _HS_W : _HS_W + spec.N_BINS + 1] = np.sin(ang)
+    return out
+
+
+def _make_kernel(tt: int, t_total: int, hopsplit: bool = True):
     rows = tt + 2 * HALO          # frames computed per tile (center + halo)
     blk = rows + _RATIO + 4       # hop blocks DMA'd (pad to 8-multiple slack)
     t_r, f_r = spec.PEAK_TIME_RADIUS, spec.PEAK_FREQ_RADIUS
@@ -90,24 +128,66 @@ def _make_kernel(tt: int, t_total: int):
         copy.start()
         copy.wait()
 
-        # frames[r] = concat(y[r], .., y[r+3]): assemble via shifted stores
-        # into a frames scratch (Mosaic relayouts stores; it cannot yet
-        # lane-concat sublane-shifted vectors), then ONE [rows, 1024] x
-        # [1024, 1024] contraction — the same K=1024 accumulation order as
-        # the XLA path, which keeps bit parity of the quantized decisions
-        # (a split-K formulation was measured to flip ~2ppm of hash
-        # decisions on white noise)
-        y = y_s[:]
-        for k in range(_RATIO):
-            fr_s[:, k * spec.HOP : (k + 1) * spec.HOP] = y[k : k + rows]
-        out = jnp.dot(
-            fr_s[:],
-            basis_ref[:],
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # [rows, 2 * N_BINS]
-        re = out[:, :fdim]
-        im = out[:, fdim:]
+        if hopsplit:
+            # ONE [blk, 256] x [256, 1280] contraction: per-hop-block DFT
+            # shared by the 4 frames containing each block (3.2x fewer MXU
+            # FLOPs than the dense [rows, 1024] x [1024, 1024] form)
+            d = jnp.dot(
+                y_s[:],
+                basis_ref[:],
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # [blk, 2 * _HS_W]
+            dre = d[:, :_HS_W]
+            dim = d[:, _HS_W:]
+
+            # twiddle combine X[r] = sum_k i^{-nk} D[r+k]: the {+-1, +-i}
+            # factors reduce to three lane-constant sign masks
+            lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _HS_W), 1)
+            m4 = lane & 3
+            one = jnp.float32(1.0)
+            s1a = jnp.where(m4 == 0, one, jnp.where(m4 == 2, -one, 0.0))
+            s1b = jnp.where(m4 == 1, one, jnp.where(m4 == 3, -one, 0.0))
+            s2 = jnp.where((lane & 1) == 0, one, -one)
+            d0re, d1re = dre[0:rows], dre[1 : rows + 1]
+            d2re, d3re = dre[2 : rows + 2], dre[3 : rows + 3]
+            d0im, d1im = dim[0:rows], dim[1 : rows + 1]
+            d2im, d3im = dim[2 : rows + 2], dim[3 : rows + 3]
+            xre = d0re + s1a * (d1re + d3re) + s1b * (d1im - d3im) + s2 * d2re
+            xim = d0im + s1a * (d1im + d3im) - s1b * (d1re - d3re) + s2 * d2im
+
+            # periodic-Hann as the exact 3-tap bin convolution
+            # X_w[n] = 0.5 X[n] - 0.25 (X[n-1] + X[n+1]), X[-1] = conj(X[1])
+            lane_f = jax.lax.broadcasted_iota(jnp.int32, (rows, fdim), 1)
+            r_re = xre[:, 1 : fdim + 1]
+            r_im = xim[:, 1 : fdim + 1]
+            l_re = jnp.pad(xre[:, : fdim - 1], ((0, 0), (1, 0)))
+            l_im = jnp.pad(xim[:, : fdim - 1], ((0, 0), (1, 0)))
+            l_re = jnp.where(lane_f == 0, r_re, l_re)
+            l_im = jnp.where(lane_f == 0, -r_im, l_im)
+            re = jnp.float32(0.5) * xre[:, :fdim] - jnp.float32(0.25) * (
+                l_re + r_re
+            )
+            im = jnp.float32(0.5) * xim[:, :fdim] - jnp.float32(0.25) * (
+                l_im + r_im
+            )
+        else:
+            # frames[r] = concat(y[r], .., y[r+3]): assemble via shifted
+            # stores into a frames scratch (Mosaic relayouts stores; it
+            # cannot yet lane-concat sublane-shifted vectors), then ONE
+            # [rows, 1024] x [1024, 1024] contraction — the same K=1024
+            # accumulation order as the XLA path
+            y = y_s[:]
+            for k in range(_RATIO):
+                fr_s[:, k * spec.HOP : (k + 1) * spec.HOP] = y[k : k + rows]
+            out = jnp.dot(
+                fr_s[:],
+                basis_ref[:],
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # [rows, 2 * N_BINS]
+            re = out[:, :fdim]
+            im = out[:, fdim:]
         mag = jnp.sqrt(re * re + im * im)
         lm = jnp.log(mag + jnp.float32(spec.LOG_FLOOR))
 
@@ -165,18 +245,22 @@ def _make_kernel(tt: int, t_total: int):
     return kernel, rows, blk
 
 
-def fused_topkeys_batch(pcm: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+def fused_topkeys_batch(
+    pcm: jnp.ndarray, interpret: bool = False, hopsplit: bool = True
+) -> jnp.ndarray:
     """[B, S] 16 kHz PCM -> [B, n_tiles*TT, 128] packed per-frame top-P keys.
 
     Rows >= num_frames(S) come out MASKED (q <= 0) and are dropped by
     stage 2's validity check.  ``interpret=True`` runs the Pallas
-    interpreter (CPU parity tests).
+    interpreter (CPU parity tests).  ``hopsplit=False`` selects the dense
+    [1024, 1024] DFT formulation (kept for A/B measurement; the hop-block
+    split is the production path — see _block_dft_basis).
     """
     bsz, s = pcm.shape
     t_total = spec.num_frames(s)
     assert t_total > 0, "clip shorter than one frame"
     n_tiles, tt = plan_tiles(t_total)
-    kernel, rows, blk = _make_kernel(tt, t_total)
+    kernel, rows, blk = _make_kernel(tt, t_total, hopsplit)
 
     # hop-blocked, halo-padded PCM: Y[:, j] = pcm hop block (j - HALO)
     nb = n_tiles * tt + blk - tt  # max DMA start (n_tiles-1)*tt + blk blocks
@@ -185,7 +269,7 @@ def fused_topkeys_batch(pcm: jnp.ndarray, interpret: bool = False) -> jnp.ndarra
         bsz, nb, spec.HOP
     )
 
-    basis = jnp.asarray(_dft_bases())
+    basis = jnp.asarray(_block_dft_basis() if hopsplit else _dft_bases())
     return pl.pallas_call(
         kernel,
         grid=(bsz, n_tiles),
@@ -193,7 +277,7 @@ def fused_topkeys_batch(pcm: jnp.ndarray, interpret: bool = False) -> jnp.ndarra
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(
-                (spec.N_FFT, 2 * spec.N_BINS),
+                basis.shape,
                 lambda b, i: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -203,7 +287,10 @@ def fused_topkeys_batch(pcm: jnp.ndarray, interpret: bool = False) -> jnp.ndarra
         ),
         scratch_shapes=[
             pltpu.VMEM((blk, spec.HOP), jnp.float32),
-            pltpu.VMEM((tt + 2 * HALO, spec.N_FFT), jnp.float32),
+            # frames scratch: only the dense formulation assembles frames
+            pltpu.VMEM(
+                (tt + 2 * HALO, 8 if hopsplit else spec.N_FFT), jnp.float32
+            ),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(

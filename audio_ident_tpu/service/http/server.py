@@ -127,22 +127,13 @@ async def serve(app, host: str = "127.0.0.1", port: int = 17010, *, ready: async
     ``ready`` is set once listening.  SIGTERM/SIGINT trigger a GRACEFUL
     stop so the on_shutdown hooks (engine snapshot!) run — a bare SIGTERM
     previously killed the process before the snapshot was written, leaving
-    recovery entirely to the WAL.
+    recovery entirely to the WAL.  The handlers are installed BEFORE the
+    startup hooks: first-boot warm-up can compile for many minutes, and a
+    SIGTERM inside that window used to hit the default action (instant
+    death, no WAL seal, no snapshot).
     """
     import signal
 
-    for fn in app.on_startup:
-        await fn()
-    server = await asyncio.start_server(
-        lambda r, w: _handle_connection(app, r, w), host, port,
-        limit=MAX_HEADER_BYTES,
-    )
-    sockets = server.sockets or []
-    logger.info("listening on %s", [s.getsockname() for s in sockets])
-    if sockets and hasattr(app, "state"):
-        app.state["bound_port"] = sockets[0].getsockname()[1]
-    if ready is not None:
-        ready.set()
     stop = asyncio.Event()
     loop = asyncio.get_running_loop()
     installed: list = []
@@ -152,18 +143,41 @@ async def serve(app, host: str = "127.0.0.1", port: int = 17010, *, ready: async
             installed.append(sig)
         except (NotImplementedError, RuntimeError):  # non-main thread / platform
             pass
+    server = None
     try:
+        stop_task = asyncio.ensure_future(stop.wait())
+        for fn in app.on_startup:
+            # race each startup hook against the stop signal so a SIGTERM
+            # mid-warm-up still exits through the shutdown hooks
+            hook_task = asyncio.ensure_future(fn())
+            done, _ = await asyncio.wait(
+                {hook_task, stop_task}, return_when=asyncio.FIRST_COMPLETED
+            )
+            if stop.is_set():
+                hook_task.cancel()
+                logger.info("stop signal during startup; skipping serve")
+                return
+            hook_task.result()  # propagate startup errors
+        server = await asyncio.start_server(
+            lambda r, w: _handle_connection(app, r, w), host, port,
+            limit=MAX_HEADER_BYTES,
+        )
+        sockets = server.sockets or []
+        logger.info("listening on %s", [s.getsockname() for s in sockets])
+        if sockets and hasattr(app, "state"):
+            app.state["bound_port"] = sockets[0].getsockname()[1]
+        if ready is not None:
+            ready.set()
         async with server:
-            stop_task = asyncio.ensure_future(stop.wait())
             serve_task = asyncio.ensure_future(server.serve_forever())
             try:
                 done, pending = await asyncio.wait(
                     {stop_task, serve_task}, return_when=asyncio.FIRST_COMPLETED
                 )
             finally:
-                for t in (stop_task, serve_task):
-                    t.cancel()
+                serve_task.cancel()
     finally:
+        stop_task.cancel()
         for sig in installed:
             loop.remove_signal_handler(sig)
         for fn in app.on_shutdown:

@@ -127,3 +127,38 @@ async def test_server_404_and_bad_request(running_app):
         r = await c.get(f"{running_app}/nope")
         assert r.status_code == 404
         assert r.json()["error"]["code"] == "NOT_FOUND"
+
+
+async def test_sigterm_during_startup_runs_shutdown_hooks():
+    """SIGTERM inside a (minutes-long on first boot) startup warm-up must
+    still exit through the on_shutdown hooks — the handlers are installed
+    BEFORE the startup hooks run, not after the server starts listening."""
+    import os
+    import signal
+
+    loop = asyncio.get_running_loop()
+    try:  # the default SIGTERM action would kill pytest: only run where
+        loop.add_signal_handler(signal.SIGUSR1, lambda: None)  # handlers work
+        loop.remove_signal_handler(signal.SIGUSR1)
+    except (NotImplementedError, RuntimeError):
+        pytest.skip("loop signal handlers unavailable in this runner")
+
+    app = App()
+    startup_entered = asyncio.Event()
+    ran: list[str] = []
+
+    async def slow_startup():
+        startup_entered.set()
+        await asyncio.sleep(3600)  # "compiling"
+
+    async def on_shutdown():
+        ran.append("shutdown")
+
+    app.on_startup.append(slow_startup)
+    app.on_shutdown.append(on_shutdown)
+
+    task = asyncio.create_task(serve(app, "127.0.0.1", 0))
+    await startup_entered.wait()
+    os.kill(os.getpid(), signal.SIGTERM)
+    await asyncio.wait_for(task, timeout=10)
+    assert ran == ["shutdown"]
