@@ -383,6 +383,19 @@ def fingerprint_jax(
     return pair_hashes_jax(t, f, valid)
 
 
+def production_use_pallas() -> bool:
+    """True when the fused Pallas front-end should serve production
+    fingerprinting: any real accelerator backend (Mosaic compiles there);
+    the CPU test backend takes the XLA formulation (the Pallas interpreter
+    is for parity tests, ~100x slower).  AUDIO_IDENT_FORCE_XLA_FP=1
+    forces the XLA path for A/B and debugging."""
+    import os
+
+    if os.environ.get("AUDIO_IDENT_FORCE_XLA_FP", "") == "1":
+        return False
+    return jax.default_backend() != "cpu"
+
+
 @functools.partial(
     jax.jit, static_argnames=("budget", "use_fft", "use_pallas", "pallas_interpret")
 )

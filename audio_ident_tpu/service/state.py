@@ -504,7 +504,10 @@ class EngineState:
         """Fingerprint on device and append postings (single-writer)."""
 
         def work() -> int:
-            from audio_ident_tpu.ops.fingerprint import fingerprint_batch
+            from audio_ident_tpu.ops.fingerprint import (
+                fingerprint_batch,
+                production_use_pallas,
+            )
             from audio_ident_tpu.utils.profiling import span
 
             with span("fingerprint_index"):
@@ -513,7 +516,9 @@ class EngineState:
                 m = min(len(pcm_16k), n)
                 padded[:m] = pcm_16k[:m]
                 budget = spec.max_peaks(n)
-                h, t, v = fingerprint_batch(padded[None], budget)
+                h, t, v = fingerprint_batch(
+                    padded[None], budget, use_pallas=production_use_pallas()
+                )
                 h = np.asarray(h[0]).astype(np.int64)
                 t = np.asarray(t[0])
                 v = np.asarray(v[0])
