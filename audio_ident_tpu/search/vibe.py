@@ -130,9 +130,15 @@ class VibeLane:
         *,
         exclude_track_row: int | None = None,
     ) -> list[TrackScore]:
-        """Ranked + thresholded track scores against a device vector index."""
+        """Ranked + thresholded track scores against a device vector index
+        (f32 exact, or int8-quantized preselect + exact rescore)."""
         q = self.embed_query(pcm_48k)
-        s, t, o, _ = vector_topk(jnp.asarray(q), dvi, self.search_limit)
+        from audio_ident_tpu.vector.quant import QuantVectorIndex, quant_topk
+
+        if isinstance(dvi, QuantVectorIndex):
+            s, t, o, _ = quant_topk(q, dvi, self.search_limit)
+        else:
+            s, t, o, _ = vector_topk(jnp.asarray(q), dvi, self.search_limit)
         scores = aggregate_chunk_hits(
             np.asarray(s), np.asarray(t), np.asarray(o),
             exclude_track_row=exclude_track_row,

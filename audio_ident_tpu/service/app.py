@@ -113,6 +113,7 @@ def create_app(
             mesh_shards=settings.mesh_shards,
             wal_fsync=settings.wal_fsync,
             compact_delta_postings=settings.compact_delta_postings,
+            vector_quant=settings.vector_quant,
         )
     audio_io.ensure_storage_dirs(settings.storage_root)
     app.state.update(settings=settings, catalog=catalog, engine=engine)

@@ -61,6 +61,10 @@ class Settings(BaseModel):
     embedding_dim: int = 512
     vibe_match_threshold: float = 0.60
     vector_search_limit: int = 50
+    # int8 = scalar-quantized device codes (1/4 HBM) + exact f32 rescore,
+    # mirroring the reference's Qdrant int8 quantization config
+    # (reference: app/audio/qdrant_setup.py:50-77); none = f32 matrix
+    vector_quant: str = "none"  # none | int8
     exact_timeout_sec: float = 3.0
     vibe_timeout_sec: float = 4.0
 

@@ -115,7 +115,9 @@ class EngineState:
         mesh_shards: int = 0,
         wal_fsync: str = "always",
         compact_delta_postings: int = 2_000_000,
+        vector_quant: str = "none",
     ):
+        self.vector_quant = vector_quant
         if compile_cache_dir is not None:
             import jax
 
@@ -706,13 +708,23 @@ class EngineState:
         return len(emb)
 
     def _current_device_vectors(self):
-        from audio_ident_tpu.vector.search import DeviceVectorIndex
-
         want = (self.vector_store.version, self.fp_index.version)
         if self._device_vectors is None or self._device_vectors.version != want:
-            dvi = DeviceVectorIndex.from_host(
-                self.vector_store, track_valid=self.fp_index.track_valid
-            )
+            if self.vector_quant == "int8":
+                # Qdrant-parity int8 scalar quantization: 1/4 HBM for the
+                # device code matrix, exact f32 rescore on the host
+                # originals (vector/quant.py)
+                from audio_ident_tpu.vector.quant import QuantVectorIndex
+
+                dvi = QuantVectorIndex.from_host(
+                    self.vector_store, track_valid=self.fp_index.track_valid
+                )
+            else:
+                from audio_ident_tpu.vector.search import DeviceVectorIndex
+
+                dvi = DeviceVectorIndex.from_host(
+                    self.vector_store, track_valid=self.fp_index.track_valid
+                )
             dvi.version = want
             self._device_vectors = dvi
         return self._device_vectors

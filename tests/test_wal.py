@@ -366,8 +366,6 @@ async def test_auto_compaction_triggers_in_service_path(tmp_path):
     """Ingesting past compact_delta_postings must schedule a background
     merge with no explicit call — the serving path finally invokes
     merge_delta (r2 ADVICE medium)."""
-    import asyncio
-
     from tests.conftest import synth_audio
 
     clips = [synth_audio(np.random.default_rng(7000 + i), 8.0) for i in range(4)]
