@@ -26,30 +26,63 @@ _MAX_TIME = 1 << 17
 
 
 def build_native() -> bool:
-    """Build the library with make; returns success."""
+    """Compile the library; returns success.
+
+    Compiles to a process-private temp name and ``os.replace``s it into
+    place so concurrent builders (several service/test processes starting
+    on a fresh checkout) never load a half-written .so.
+    """
+    import os
+
+    src = _NATIVE_DIR / "src" / "lsm_kernels.cc"
+    if not src.exists():
+        return False
+    tmp = _LIB_PATH.parent / f".libaudioident.{os.getpid()}.so"
     try:
         subprocess.run(
-            ["make", "-C", str(_NATIVE_DIR)], check=True,
-            capture_output=True, timeout=120,
+            [
+                os.environ.get("CXX", "g++"),
+                "-O3", "-march=native", "-std=c++17", "-fPIC",
+                "-Wall", "-Wextra", "-shared", "-o", str(tmp), str(src),
+            ],
+            check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, _LIB_PATH)
         native_lib.cache_clear()
         return _LIB_PATH.exists()
     except (OSError, subprocess.SubprocessError):
+        tmp.unlink(missing_ok=True)
         return False
+
+
+_AUTOBUILD_TRIED = False
+
+
+def _autobuild_once() -> bool:
+    """First-use auto-build: a fresh checkout must not silently run the
+    NumPy fallbacks (measured 3.5x slower LSM compaction).  One attempt
+    per process; failures (no compiler, read-only tree) fall back quietly."""
+    global _AUTOBUILD_TRIED
+    if _AUTOBUILD_TRIED:
+        return _LIB_PATH.exists()
+    _AUTOBUILD_TRIED = True
+    return build_native()
 
 
 @functools.lru_cache(maxsize=1)
 def native_lib() -> ctypes.CDLL | None:
     """The loaded library, or None when not built/available.
 
-    ``AUDIO_IDENT_NO_NATIVE=1`` forces the NumPy fallbacks — the
-    isolation switch for debugging suspected native-memory issues.
+    Missing .so triggers ONE in-process build attempt (see
+    ``_autobuild_once``).  ``AUDIO_IDENT_NO_NATIVE=1`` forces the NumPy
+    fallbacks — the isolation switch for debugging suspected
+    native-memory issues.
     """
     import os
 
     if os.environ.get("AUDIO_IDENT_NO_NATIVE") == "1":
         return None
-    if not _LIB_PATH.exists():
+    if not _LIB_PATH.exists() and not _autobuild_once():
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))

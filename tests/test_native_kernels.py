@@ -108,3 +108,22 @@ def test_index_uses_native_merge():
     assert idx.delete_track("00000000-0000-0000-0000-000000000002")
     idx.merge_delta()
     assert len(idx.tracks) == 15_000
+
+
+def test_autobuild_on_first_use(tmp_path, monkeypatch):
+    """A missing .so triggers ONE in-process compile on first native_lib()
+    call (fresh checkouts must not silently run the 3.5x-slower NumPy
+    fallbacks), and the result lands via atomic rename."""
+    from audio_ident_tpu.utils import native as nat
+
+    monkeypatch.setattr(nat, "_LIB_PATH", tmp_path / "libaudioident.so")
+    monkeypatch.setattr(nat, "_AUTOBUILD_TRIED", False)
+    nat.native_lib.cache_clear()
+    try:
+        lib = nat.native_lib()
+        assert lib is not None
+        assert (tmp_path / "libaudioident.so").exists()
+        # no half-written temp artifacts left behind
+        assert not list(tmp_path.glob(".libaudioident.*"))
+    finally:
+        nat.native_lib.cache_clear()
