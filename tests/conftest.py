@@ -7,7 +7,15 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# HARD-set, not setdefault: this image's session env carries
+# JAX_PLATFORMS=axon (the remote-TPU plugin).  With setdefault the env
+# keeps "axon", and every in-test call of honor_jax_platforms_env()
+# (service CLI, eval-script mains) re-pins jax onto the REMOTE TPU
+# backend — tests then compile through the remote tunnel, which is
+# minutes-slow under load and hangs outright when the pool is
+# overloaded (observed: one CLI test at 259 s vs 5 s local, and full
+# suite stalls).  Tests must be hermetic: virtual CPU mesh only.
+os.environ["JAX_PLATFORMS"] = "cpu"
 # Background re-warm compiles segfault XLA:CPU when racing foreground
 # compiles (jaxlib bug; see state._no_bg_rewarm).  Tests call
 # _rewarm_if_grown() synchronously where the behavior matters.
