@@ -1,13 +1,15 @@
-"""Lossy-codec round-trips for evaluation: real ffmpeg, or an MDCT sim.
+"""Lossy-codec round-trips for evaluation: real codecs, or an MDCT sim.
 
 The reference's eval encodes clips through real Opus/MP3 to measure
 browser-capture accuracy (reference: scripts/build_eval_corpus.py:153-188,
-scripts/eval_exact.py:48).  This build image has no ffmpeg and no codec
-libraries, so we provide two paths:
+scripts/eval_exact.py:48).  Three paths, in preference order:
 
-- ``ffmpeg_roundtrip``: pipes PCM through the real encoder/decoder when
-  ffmpeg IS on PATH (the production/eval host).  Tests and the corpus
-  builder use it automatically when available.
+- the NATIVE codec engine (native/src/codec_engine.cc linking
+  libavformat/libavcodec/libswresample in-process): REAL libopus /
+  libmp3lame / libvorbis / aac round-trips with no subprocess — this
+  image ships the ffmpeg libraries without the CLI binary;
+- ``ffmpeg_roundtrip``: pipes PCM through the ffmpeg binary when it IS
+  on PATH (equivalent output, kept for hosts without the dev libs);
 - ``codec_sim``: an honest transform-domain simulation of perceptual
   codecs — MDCT analysis, per-band bit allocation against a real bit
   budget derived from the target bitrate, uniform quantization of the
@@ -77,12 +79,9 @@ def ffmpeg_decode(data: bytes, sr: int) -> np.ndarray:
     return np.frombuffer(proc.stdout, np.float32)
 
 
-def ffmpeg_roundtrip(
-    pcm: np.ndarray, sr: int, codec: str = "opus", bitrate_kbps: int = 48
-) -> np.ndarray:
-    """Real encode->decode; output trimmed/padded to the input length
-    (codecs add priming/padding samples)."""
-    out = ffmpeg_decode(ffmpeg_encode(pcm, sr, codec, bitrate_kbps), sr)
+def _align_to_input(out: np.ndarray, pcm: np.ndarray, sr: int) -> np.ndarray:
+    """Trim/pad a decoded round-trip to the input length, aligning by
+    cross-correlation (codecs add priming/padding samples)."""
     n = len(pcm)
     if len(out) >= n:
         # codecs prepend priming samples; align by cross-correlating the
@@ -101,6 +100,33 @@ def ffmpeg_roundtrip(
     if len(out) < n:
         out = np.pad(out, (0, n - len(out)))
     return out.astype(np.float32)
+
+
+def ffmpeg_roundtrip(
+    pcm: np.ndarray, sr: int, codec: str = "opus", bitrate_kbps: int = 48
+) -> np.ndarray:
+    """Real encode->decode through the ffmpeg binary."""
+    out = ffmpeg_decode(ffmpeg_encode(pcm, sr, codec, bitrate_kbps), sr)
+    return _align_to_input(out, pcm, sr)
+
+
+def native_roundtrip(
+    pcm: np.ndarray, sr: int, codec: str = "opus", bitrate_kbps: int = 48
+) -> np.ndarray:
+    """Real encode->decode through the in-process native codec engine."""
+    from audio_ident_tpu.utils.codec_native import decode_bytes, encode_pcm
+
+    data = encode_pcm(np.asarray(pcm, np.float32), sr, codec, bitrate_kbps)
+    out, _rate, _ch = decode_bytes(data, target_rate=sr)
+    return _align_to_input(out, pcm, sr)
+
+
+def have_native_codecs() -> bool:
+    from audio_ident_tpu.utils.codec_native import have_encoder, have_native_codec
+
+    return have_native_codec() and all(
+        have_encoder(c) for c in ("opus", "mp3", "aac")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -229,10 +255,18 @@ def roundtrip(
 ) -> tuple[np.ndarray, str]:
     """Best-available codec round-trip: (pcm, provenance_label).
 
-    Real ffmpeg when present (label ``opus@48k``), otherwise the MDCT
-    simulation (label ``opus-sim@48k``) — the label lands in the corpus
-    ground truth so eval reports carry honest provenance.
+    A REAL codec when reachable — the in-process native engine first
+    (label ``opus@48k``), the ffmpeg binary second (same label) — and
+    the MDCT simulation last (label ``opus-sim@48k``); the label lands
+    in the corpus ground truth so eval reports carry honest provenance.
     """
+    from audio_ident_tpu.utils.codec_native import have_encoder
+
+    if have_encoder(codec):
+        return (
+            native_roundtrip(pcm, sr, codec, bitrate_kbps),
+            f"{codec}@{bitrate_kbps}k",
+        )
     if have_ffmpeg():
         return (
             ffmpeg_roundtrip(pcm, sr, codec, bitrate_kbps),

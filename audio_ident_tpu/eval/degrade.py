@@ -114,3 +114,21 @@ def browser_capture_chain(
     y = np.round(gain * x * 32767.0) / 32767.0
     y = codec_sim(y.astype(np.float32), sr, bitrate_kbps=32)
     return y.astype(np.float32)
+
+
+def browser_capture(
+    x: np.ndarray, rng: np.random.Generator, sr: int = 16000
+) -> tuple[np.ndarray, str]:
+    """Browser capture with provenance: AGC gain + 16-bit quantization +
+    REAL Opus 32k when a codec engine is reachable (label ``browser``),
+    else the MDCT sim (label ``browser-sim``).  The corpus builder uses
+    this; :func:`browser_capture_chain` stays sim-only for deterministic
+    unit tests."""
+    from audio_ident_tpu.eval.codecs import roundtrip
+
+    gain = rng.uniform(0.5, 0.9)
+    y = np.round(gain * x * 32767.0) / 32767.0
+    out, label = roundtrip(y.astype(np.float32), sr, "opus", 32)
+    return out.astype(np.float32), (
+        "browser-sim" if "-sim" in label else "browser"
+    )

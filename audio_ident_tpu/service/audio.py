@@ -4,9 +4,16 @@ Replaces the reference's libmagic MIME sniffing (reference:
 app/routers/search.py:56,101) with built-in magic-byte checks, and its
 dual-rate double-ffmpeg decode (reference: app/audio/decode.py:41-87) with
 decode-once-resample-on-device: containers are decoded to their native
-rate on the host (stdlib WAV decoder; ffmpeg subprocess only if present
-for compressed formats), and the 48 kHz -> 16 kHz conversion happens in
-JAX (ops/resample.py) so ffmpeg runs at most once per file.
+rate on the host, and the 48 kHz -> 16 kHz conversion happens in JAX
+(ops/resample.py) so decode runs at most once per file.
+
+Compressed-container decode order (reference spawned an ffmpeg subprocess
+per file, decode.py:41-62):
+1. the IN-PROCESS native codec engine (native/src/codec_engine.cc over
+   libavformat/libavcodec/libswresample — no pipe, no process spawn);
+2. an ffmpeg subprocess, when the binary is on PATH;
+3. DecodeError.
+WAV always takes the stdlib parser (no dependency at all).
 """
 
 from __future__ import annotations
@@ -159,10 +166,31 @@ async def decode_with_ffmpeg(data: bytes, target_rate: int) -> DecodedAudio:
     return DecodedAudio(x.astype(np.float32), target_rate, 1, len(x) / target_rate)
 
 
+def _decode_native(data: bytes, target_rate: int) -> DecodedAudio:
+    from audio_ident_tpu.utils.codec_native import CodecError, decode_bytes
+
+    try:
+        pcm, rate, channels = decode_bytes(data, target_rate)
+    except CodecError as exc:
+        raise DecodeError(str(exc)) from exc
+    return DecodedAudio(pcm, rate, channels, len(pcm) / rate)
+
+
+def have_compressed_decode() -> bool:
+    """True when compressed containers can be decoded at all."""
+    from audio_ident_tpu.utils.codec_native import have_native_codec
+
+    return have_native_codec() or have_ffmpeg()
+
+
 async def decode_audio(data: bytes, fmt: str, target_rate: int = 48_000) -> DecodedAudio:
     """bytes + sniffed format -> mono f32 PCM (native rate for WAV)."""
     if fmt == "wav":
         return await asyncio.to_thread(decode_wav, data)
+    from audio_ident_tpu.utils.codec_native import have_native_codec
+
+    if have_native_codec():
+        return await asyncio.to_thread(_decode_native, data, target_rate)
     return await decode_with_ffmpeg(data, target_rate)
 
 

@@ -36,10 +36,14 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from audio_ident_tpu.eval.codecs import have_ffmpeg, roundtrip  # noqa: E402
+from audio_ident_tpu.eval.codecs import (  # noqa: E402
+    have_ffmpeg,
+    have_native_codecs,
+    roundtrip,
+)
 from audio_ident_tpu.eval.degrade import (  # noqa: E402
     add_noise_snr,
-    browser_capture_chain,
+    browser_capture,
     mic_capture_chain,
 )
 from audio_ident_tpu.service.audio import decode_wav  # noqa: E402
@@ -72,9 +76,10 @@ def make_library(library: Path, n_tracks: int, seed: int = 1) -> None:
 
 
 def _environments() -> list[str]:
+    real = have_native_codecs() or have_ffmpeg()
     envs = ["clean"]
     envs += [f"snr{int(db)}" for db in SNR_SWEEP_DB]
-    envs += [f"{codec}{'' if have_ffmpeg() else '-sim'}@{br}k" for codec, br in CODEC_POINTS]
+    envs += [f"{codec}{'' if real else '-sim'}@{br}k" for codec, br in CODEC_POINTS]
     envs += ["browser", "mic"]
     return envs
 
@@ -87,7 +92,7 @@ def _degrade(clip: np.ndarray, env: str, rng: np.random.Generator) -> tuple[np.n
         kind = NOISE_KINDS[int(rng.integers(len(NOISE_KINDS)))]
         return add_noise_snr(clip, float(env[3:]), rng, kind=kind, sr=SR), f"{env}-{kind}"
     if env == "browser":
-        return browser_capture_chain(clip, rng, SR), env
+        return browser_capture(clip, rng, SR)
     if env == "mic":
         return mic_capture_chain(clip, rng, SR), env
     codec, br = env.split("@")
