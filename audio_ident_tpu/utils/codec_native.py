@@ -25,12 +25,17 @@ import numpy as np
 _NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _LIB_PATH = _NATIVE_DIR / "libaicodec.so"
 
-#: codec -> (avcodec encoder name, avformat muxer name)
+#: codec -> (avcodec encoder name, avformat muxer name).  Covers the
+#: reference's full upload allow-list (reference: docs/api-contract.md —
+#: MP3, WAV, FLAC, OGG, WebM, MP4/AAC; WAV is handled by the stdlib
+#: parser in service/audio.py).
 ENCODERS = {
     "mp3": ("libmp3lame", "mp3"),
     "opus": ("libopus", "webm"),
     "vorbis": ("libvorbis", "ogg"),
     "aac": ("aac", "adts"),
+    "m4a": ("aac", "ipod"),
+    "flac": ("flac", "flac"),
 }
 
 

@@ -75,7 +75,30 @@ def test_decode_garbage_raises():
 
 def test_encode_unknown_codec_raises():
     with pytest.raises(codec_native.CodecError):
-        codec_native.encode_pcm(_tone(1.0), SR, "flac")  # not in ENCODERS
+        codec_native.encode_pcm(_tone(1.0), SR, "shorten")  # not in ENCODERS
+
+
+def test_flac_lossless_roundtrip():
+    """FLAC is lossless: the decode must reproduce the input bit-near."""
+    pcm = _tone()
+    data = codec_native.encode_pcm(pcm, SR, "flac")
+    assert data[:4] == b"fLaC"
+    out, rate, _ch = codec_native.decode_bytes(data, target_rate=SR)
+    assert rate == SR
+    n = min(len(out), len(pcm))
+    # flac encodes s16/s32: only quantization error remains
+    assert float(np.max(np.abs(out[:n] - pcm[:n]))) < 1e-3
+
+
+def test_m4a_container_roundtrip_and_sniff():
+    from audio_ident_tpu.service.audio import sniff_format
+
+    pcm = _tone()
+    data = codec_native.encode_pcm(pcm, SR, "m4a", 96)
+    assert sniff_format(data) == ("m4a", "audio/mp4")
+    out, rate, _ch = codec_native.decode_bytes(data, target_rate=SR)
+    assert rate == SR
+    assert _aligned_corr(out, pcm, SR) > 0.95
 
 
 def test_opus_rate_bridging():
