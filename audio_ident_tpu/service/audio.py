@@ -52,6 +52,10 @@ def sniff_format(data: bytes) -> tuple[str, str] | None:
         return ("m4a", "audio/mp4")
     if data[:3] == b"ID3":
         return ("mp3", "audio/mpeg")
+    if data[0] == 0xFF and (data[1] & 0xF6) == 0xF0:
+        # ADTS AAC sync (0xFFF, layer 00) — a subset of the MPEG-audio
+        # sync pattern, so it must be checked before the mp3 branch
+        return ("aac", "audio/aac")
     if data[0] == 0xFF and (data[1] & 0xE0) == 0xE0:
         return ("mp3", "audio/mpeg")
     return None
@@ -64,6 +68,7 @@ MIME_BY_FORMAT = {
     "ogg": "audio/ogg",
     "webm": "audio/webm",
     "m4a": "audio/mp4",
+    "aac": "audio/aac",
 }
 
 

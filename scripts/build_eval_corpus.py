@@ -159,7 +159,11 @@ def build_corpus(
         w = csv.writer(f)
         w.writerow(["clip", "source", "offset_sec", "type", "environment"])
         w.writerows(rows)
-    print(f"wrote {len(rows)} clips -> {out} (ffmpeg={'yes' if have_ffmpeg() else 'NO — codec-sim'})")
+    real = have_native_codecs() or have_ffmpeg()
+    print(
+        f"wrote {len(rows)} clips -> {out} "
+        f"(codecs={'REAL' if real else 'NO — codec-sim'})"
+    )
     return gt
 
 

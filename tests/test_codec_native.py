@@ -90,6 +90,19 @@ def test_flac_lossless_roundtrip():
     assert float(np.max(np.abs(out[:n] - pcm[:n]))) < 1e-3
 
 
+def test_adts_aac_sniffs_as_aac_not_mp3():
+    """ADTS sync (0xFFF, layer 00) is a subset of the MPEG-audio sync
+    pattern; the sniffer must classify it as AAC, not MP3."""
+    from audio_ident_tpu.service.audio import sniff_format
+
+    pcm = _tone()
+    data = codec_native.encode_pcm(pcm, SR, "aac", 96)
+    assert sniff_format(data) == ("aac", "audio/aac")
+    out, rate, _ch = codec_native.decode_bytes(data, target_rate=SR)
+    assert rate == SR
+    assert _aligned_corr(out, pcm, SR) > 0.95
+
+
 def test_m4a_container_roundtrip_and_sniff():
     from audio_ident_tpu.service.audio import sniff_format
 
