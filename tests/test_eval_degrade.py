@@ -69,11 +69,13 @@ def test_codec_sim_deterministic():
 
 
 def test_roundtrip_label_provenance():
+    from audio_ident_tpu.utils.codec_native import have_encoder
+
     x = synth_audio(np.random.default_rng(7), 2.0)
     out, label = roundtrip(x, 16000, "opus", 48)
     assert len(out) == len(x)
-    if have_ffmpeg():
-        assert label == "opus@48k"
+    if have_encoder("opus") or have_ffmpeg():
+        assert label == "opus@48k"  # a REAL codec ran (native engine or CLI)
     else:
         assert label == "opus-sim@48k"  # sim NEVER masquerades as real
 
@@ -143,31 +145,56 @@ def test_0db_white_noise_hurts_but_does_not_false_positive(lane_and_tracks):
     assert not res or res[0].track_row == 3
 
 
-# -- real codecs (ffmpeg on PATH only; reference: tests/test_audio_decode.py) ---
+# -- real codecs (native engine preferred, ffmpeg CLI fallback;
+#    reference: tests/test_audio_decode.py) ---------------------------------
 
-needs_ffmpeg = pytest.mark.skipif(not have_ffmpeg(), reason="ffmpeg not on PATH")
+from audio_ident_tpu.eval.codecs import native_roundtrip  # noqa: E402
+from audio_ident_tpu.utils.codec_native import (  # noqa: E402
+    encode_pcm,
+    have_encoder,
+)
 
 
-@needs_ffmpeg
+def _have_real(codec: str) -> bool:
+    return have_encoder(codec) or have_ffmpeg()
+
+
+def _real_roundtrip(pcm, sr, codec, bitrate):
+    if have_encoder(codec):
+        return native_roundtrip(pcm, sr, codec, bitrate)
+    return ffmpeg_roundtrip(pcm, sr, codec, bitrate)
+
+
+needs_real = pytest.mark.skipif(
+    not (_have_real("opus") and _have_real("mp3")),
+    reason="no real codec engine (native libs or ffmpeg CLI)",
+)
+
+
+@needs_real
 @pytest.mark.parametrize("codec,bitrate", [("opus", 48), ("mp3", 64)])
 def test_real_codec_roundtrip_identifies(lane_and_tracks, codec, bitrate):
     lane, clips = lane_and_tracks
-    q = ffmpeg_roundtrip(clips[0][16000 * 2 : 16000 * 10], 16000, codec, bitrate)
+    q = _real_roundtrip(clips[0][16000 * 2 : 16000 * 10], 16000, codec, bitrate)
     res = lane.search(q)
     assert res and res[0].track_row == 0
 
 
-@needs_ffmpeg
+@needs_real
 def test_real_opus_bytes_decode_through_service():
     """Compressed bytes land in the service decode path (WebM/Opus is the
     browser-capture format — reference: scripts/eval_exact.py:48)."""
     import asyncio
 
-    from audio_ident_tpu.eval.codecs import ffmpeg_encode
     from audio_ident_tpu.service.audio import decode_audio, sniff_format
 
     x = synth_audio(np.random.default_rng(13), 4.0)
-    data = ffmpeg_encode(x, 16000, "opus", 48)
+    if have_encoder("opus"):
+        data = encode_pcm(x, 16000, "opus", 48)
+    else:
+        from audio_ident_tpu.eval.codecs import ffmpeg_encode
+
+        data = ffmpeg_encode(x, 16000, "opus", 48)
     fmt, _mime = sniff_format(data)
     assert fmt == "webm"
     decoded = asyncio.run(decode_audio(data, fmt, target_rate=16000))
