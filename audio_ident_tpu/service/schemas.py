@@ -48,6 +48,12 @@ class ExactMatch(BaseModel):
     confidence: float = Field(ge=0.0, le=1.0)
     offset_seconds: float | None = None
     aligned_hashes: int
+    # True when the score-gap verdict failed: the candidate passed the
+    # frozen aligned-hash floor (the list the reference would return,
+    # reference: app/search/exact.py:109-121) but the service does not
+    # ASSERT a match.  Additive field — absent/false preserves the
+    # reference contract's meaning exactly.
+    low_confidence: bool = False
 
 
 class VibeMatch(BaseModel):

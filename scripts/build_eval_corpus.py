@@ -57,7 +57,9 @@ SR = 16000
 
 SNR_SWEEP_DB = (20.0, 15.0, 10.0, 5.0, 0.0)
 NOISE_KINDS = ("white", "pink", "babble")
-CODEC_POINTS = (("opus", 48), ("opus", 24), ("mp3", 64))
+# aac@64k added in round 4 (r3 verdict item 1): mono AAC at 64 kbps is the
+# realistic mobile-streaming point between opus@48k and mp3@64k severity
+CODEC_POINTS = (("opus", 48), ("opus", 24), ("mp3", 64), ("aac", 64))
 CLIP_SECONDS = (5.0, 8.0, 10.0, 15.0)
 
 
@@ -84,12 +86,22 @@ def _environments() -> list[str]:
     return envs
 
 
-def _degrade(clip: np.ndarray, env: str, rng: np.random.Generator) -> tuple[np.ndarray, str]:
-    """(degraded clip, final environment label with provenance)."""
+def _degrade(
+    clip: np.ndarray,
+    env: str,
+    rng: np.random.Generator,
+    kind: str | None = None,
+) -> tuple[np.ndarray, str]:
+    """(degraded clip, final environment label with provenance).
+
+    ``kind`` pins the noise color for SNR cells (the per-cell plan needs
+    exact counts per (snr, kind) cell); None draws one at random (legacy
+    round-robin corpora)."""
     if env == "clean":
         return clip, env
     if env.startswith("snr"):
-        kind = NOISE_KINDS[int(rng.integers(len(NOISE_KINDS)))]
+        if kind is None:
+            kind = NOISE_KINDS[int(rng.integers(len(NOISE_KINDS)))]
         return add_noise_snr(clip, float(env[3:]), rng, kind=kind, sr=SR), f"{env}-{kind}"
     if env == "browser":
         return browser_capture(clip, rng, SR)
@@ -101,23 +113,53 @@ def _degrade(clip: np.ndarray, env: str, rng: np.random.Generator) -> tuple[np.n
     return out, label
 
 
+def _cell_plan(per_cell: int, per_cell_other: int) -> list[tuple[str, str | None]]:
+    """Per-clip (environment, noise_kind) assignments with EXACT per-cell
+    counts.  The weak axes from the r3 verdict (white-noise SNR sweep and
+    the mic chain — the cells whose ~11-clip samples produced
+    non-monotonic noise like snr5-white 0.667 vs snr20-white 0.875) get
+    ``per_cell`` clips each; every other cell gets ``per_cell_other``."""
+    plan: list[tuple[str, str | None]] = []
+    for db in SNR_SWEEP_DB:  # weak axis 1: white-noise SNR sweep
+        plan += [(f"snr{int(db)}", "white")] * per_cell
+    plan += [("mic", None)] * per_cell  # weak axis 2: mic capture
+    plan += [("clean", None)] * per_cell_other
+    plan += [("browser", None)] * per_cell_other
+    for codec, br in CODEC_POINTS:
+        plan += [(f"{codec}@{br}k", None)] * per_cell_other
+    for kind in ("pink", "babble"):
+        for db in SNR_SWEEP_DB:
+            plan += [(f"snr{int(db)}", kind)] * per_cell_other
+    return plan
+
+
 def build_corpus(
     library: Path,
     out: Path,
-    n_clips: int = 240,
-    n_negatives: int = 60,
+    n_clips: int | None = None,
+    n_negatives: int = 200,
     seed: int = 0,
+    per_cell: int = 50,
+    per_cell_other: int = 30,
 ) -> Path:
-    """Cut clips, spread environments round-robin; returns ground-truth CSV."""
+    """Cut clips per the statistical-power cell plan; returns the
+    ground-truth CSV.  ``n_clips`` (legacy) truncates/extends the plan by
+    cycling round-robin over the environment list — kept for cheap unit
+    tests; production corpora use the exact per-cell counts so Wilson CIs
+    in the eval report are meaningful (r3 verdict item 2)."""
     rng = np.random.default_rng(seed)
     wavs = sorted(library.rglob("*.wav"))
     if not wavs:
         raise SystemExit(f"no .wav files under {library}")
     out.mkdir(parents=True, exist_ok=True)
     envs = _environments()
+    if n_clips is None:
+        plan = _cell_plan(per_cell, per_cell_other)
+    else:
+        plan = [(envs[i % len(envs)], None) for i in range(n_clips)]
     rows = []
 
-    for i in range(n_clips):
+    for i, (env, kind) in enumerate(plan):
         src = wavs[int(rng.integers(len(wavs)))]
         d = decode_wav(src.read_bytes())
         pcm = d.pcm
@@ -132,13 +174,12 @@ def build_corpus(
         else:
             start = int(rng.integers(len(pcm) - n))
             offset, clip = start / SR, pcm[start : start + n]
-        env = envs[i % len(envs)]
-        clip, env_label = _degrade(clip, env, rng)
+        clip, env_label = _degrade(clip, env, rng, kind=kind)
         name = f"clip_{i:04d}.wav"
         (out / name).write_bytes(wav_bytes(clip, SR))
         rows.append((name, src.stem, f"{offset:.3f}", "positive", env_label))
         if (i + 1) % 50 == 0:
-            print(f"  clips: {i + 1}/{n_clips}")
+            print(f"  clips: {i + 1}/{len(plan)}")
 
     for i in range(n_negatives):
         nrng = np.random.default_rng(10_000_000 + seed * 997 + i)
@@ -173,13 +214,24 @@ def main() -> None:
     ap.add_argument("--make-library", type=int, default=0, metavar="N",
                     help="synthesize N diverse tracks into --library first")
     ap.add_argument("--out", type=Path, default=Path("eval_corpus"))
-    ap.add_argument("--clips", type=int, default=240)
-    ap.add_argument("--negatives", type=int, default=60)
+    ap.add_argument("--clips", type=int, default=None,
+                    help="legacy round-robin clip count (overrides the "
+                         "per-cell plan; use for cheap smoke corpora)")
+    ap.add_argument("--per-cell", type=int, default=50,
+                    help="clips per weak-axis cell (white SNR sweep, mic)")
+    ap.add_argument("--per-cell-other", type=int, default=30,
+                    help="clips per remaining environment cell")
+    ap.add_argument("--negatives", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     if args.make_library:
         make_library(args.library, args.make_library, seed=1)
-    build_corpus(args.library, args.out, args.clips, args.negatives, args.seed)
+    if args.clips == 0 and args.negatives == 0:
+        return  # library-only invocation
+    build_corpus(
+        args.library, args.out, args.clips, args.negatives, args.seed,
+        per_cell=args.per_cell, per_cell_other=args.per_cell_other,
+    )
 
 
 if __name__ == "__main__":

@@ -85,7 +85,20 @@ def build_report(exact: dict | None, vibe: dict | None, latency: dict | None) ->
         sec, p, f = _eval_section(name, metrics, targets)
         lines += sec
         if name == "Exact lane (our harder additions)" and metrics:
-            if metrics.get("snr_curve"):
+            if metrics.get("snr_curve_ci"):
+                lines += [
+                    "Accuracy vs SNR (top-1, pooled noise kinds, "
+                    "Wilson 95% CI):", "",
+                ]
+                lines.append("| SNR | top-1 | n | 95% CI |")
+                lines.append("|---|---|---|---|")
+                for db, c in metrics["snr_curve_ci"].items():
+                    lines.append(
+                        f"| {db} | {c['rate']:.3f} | {c['n']} | "
+                        f"[{c['ci95'][0]:.3f}, {c['ci95'][1]:.3f}] |"
+                    )
+                lines.append("")
+            elif metrics.get("snr_curve"):
                 lines += ["Accuracy vs SNR (top-1, pooled noise kinds):", ""]
                 curve = metrics["snr_curve"]
                 lines.append("| " + " | ".join(curve) + " |")
@@ -94,7 +107,57 @@ def build_report(exact: dict | None, vibe: dict | None, latency: dict | None) ->
                     "| " + " | ".join(f"{v:.3f}" for v in curve.values()) + " |"
                 )
                 lines.append("")
-            if metrics.get("per_environment"):
+            env_ci = metrics.get("per_environment_ci")
+            if env_ci:
+                lines += ["Top-1 by environment (Wilson 95% CI):", ""]
+                lines.append("| environment | top-1 | n | 95% CI |")
+                lines.append("|---|---|---|---|")
+                for env, c in env_ci.items():
+                    lines.append(
+                        f"| {env} | {c['rate']:.3f} | {c['n']} | "
+                        f"[{c['ci95'][0]:.3f}, {c['ci95'][1]:.3f}] |"
+                    )
+                if metrics.get("top1_noisy_hard") is not None:
+                    lines.append(
+                        f"| top1_noisy_hard (diagnostic, <10 dB SNR) | "
+                        f"{metrics['top1_noisy_hard']:.3f} | | |"
+                    )
+                lines.append("")
+                # a cell whose CI UPPER bound sits below its category's
+                # frozen target is a statistically-confirmed failure, not
+                # sampling noise (r3 verdict item 2)
+                cell_targets = {
+                    "clean": 0.98, "mic": 0.75, "browser": 0.70,
+                    "snr": 0.75,  # >=10 dB cells score the noisy target
+                }
+                confirmed_fails = []
+                for env, c in env_ci.items():
+                    if env.startswith("snr"):
+                        db = int(env[3:].split("-")[0])
+                        if db < 10:
+                            continue  # noisy_hard is diagnostic-only
+                        tgt = cell_targets["snr"]
+                    else:
+                        tgt = cell_targets.get(env.split("-")[0].split("@")[0])
+                        if tgt is None:
+                            tgt = cell_targets["browser"]  # codec cells
+                    if c["ci95"][1] < tgt:
+                        confirmed_fails.append((env, c, tgt))
+                if confirmed_fails:
+                    lines += ["**Cells failing with statistical confidence "
+                              "(CI upper < target):**", ""]
+                    for env, c, tgt in confirmed_fails:
+                        lines.append(
+                            f"- {env}: {c['rate']:.3f} "
+                            f"(CI [{c['ci95'][0]:.3f}, {c['ci95'][1]:.3f}], "
+                            f"n={c['n']}) vs target {tgt}"
+                        )
+                    lines.append("")
+                else:
+                    lines += ["No cell fails its target with statistical "
+                              "confidence (every cell's CI upper bound "
+                              "clears the target).", ""]
+            elif metrics.get("per_environment"):
                 lines += ["Top-1 by environment:", ""]
                 lines.append("| environment | top-1 |")
                 lines.append("|---|---|")
@@ -106,6 +169,20 @@ def build_report(exact: dict | None, vibe: dict | None, latency: dict | None) ->
                         f"{metrics['top1_noisy_hard']:.3f} |"
                     )
                 lines.append("")
+            if metrics.get("false_positive_rate_floor_list") is not None:
+                lines += [
+                    "Score-gap gate operating points (r3 verdict item 5): "
+                    f"asserted-match FPR "
+                    f"{metrics['false_positive_rate']:.4f} / top-5 "
+                    f"{metrics.get('top5_overall', 0):.3f} with flagged "
+                    "candidates counted (reference floor semantics); the "
+                    "pre-r4 hard gate would have scored top-5 "
+                    f"{metrics.get('top5_overall_asserted', 0):.3f} and the "
+                    "reference's ungated floor list an FPR of "
+                    f"{metrics['false_positive_rate_floor_list']:.4f} "
+                    f"(n={metrics.get('num_negatives', '?')} negatives).",
+                    "",
+                ]
         if name == "Vibe lane" and metrics and metrics.get("provenance"):
             lines += [f"Provenance: {metrics['provenance']}", ""]
         total_pass += p

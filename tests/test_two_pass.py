@@ -44,14 +44,37 @@ def test_gate_exempts_same_offset_duplicates():
     assert [c.track_row for c in out] == [3, 9]
 
 
-def test_gate_still_rejects_flat_noise():
-    """Same aligned counts but scattered offsets = non-member noise."""
+def test_gate_flags_flat_noise_low_confidence():
+    """Same aligned counts but scattered offsets = margin fails.  With
+    max_results > 1 the floor-passing list is returned (the reference
+    keeps it, app/search/exact.py:109-121) but every candidate is flagged
+    low_confidence — no match asserted (r3 verdict item 5)."""
     cands = [
         _cand(3, 15, 3.0),
         _cand(9, 14, 61.4),  # different offset: competes, margin fails
         _cand(7, 12, 22.2),
     ]
-    assert score_candidates(list(cands), max_results=10) == []
+    out = score_candidates([_cand(c.track_row, c.aligned_hashes, c.offset_seconds) for c in cands], max_results=10)
+    assert [c.track_row for c in out] == [3, 9, 7]
+    assert all(c.low_confidence for c in out)
+
+
+def test_gate_hard_rejects_when_verdict_requested():
+    """max_results == 1 asks for a verdict: a failed margin returns []."""
+    cands = [
+        _cand(3, 15, 3.0),
+        _cand(9, 14, 61.4),
+    ]
+    assert score_candidates(list(cands), max_results=1) == []
+
+
+def test_gate_pass_is_unflagged():
+    cands = [
+        _cand(3, spec.STRONG_ACCEPT_ALIGNED, 3.0),
+        _cand(9, 9, 61.4),
+    ]
+    out = score_candidates(list(cands), max_results=10)
+    assert out and not any(c.low_confidence for c in out)
 
 
 def test_strong_top_passes_regardless_of_margin():
