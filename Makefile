@@ -8,9 +8,9 @@ DATA_ROOT ?= ./data
 CORPUS ?= ./eval_corpus
 SERVICE_URL ?= http://127.0.0.1:17010
 
-.PHONY: dev test test-all lint ingest rebuild-index snapshot bench \
+.PHONY: dev test test-fast test-all lint ingest rebuild-index snapshot bench \
 	eval-corpus eval-exact eval-vibe eval-latency eval-report eval-all \
-	dryrun-multichip native clean-data gen-api
+	dryrun-multichip native clean-data gen-api vibe-checkpoint-day
 
 dev:  ## run the HTTP service
 	$(PY) -m audio_ident_tpu.service
@@ -19,6 +19,9 @@ dev:  ## run the HTTP service
 # touch the chip tunnel (and so can run while a bench occupies the chip)
 test:  ## fast test suite (virtual 8-device CPU mesh)
 	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu $(PY) -m pytest tests/ -q -m "not slow"
+
+test-fast:  ## <5 min smoke tier: parity + WAL + gate + service API
+	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu $(PY) -m pytest tests/ -q -m fast
 
 test-all:  ## including slow parity tests
 	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu $(PY) -m pytest tests/ -q
@@ -59,6 +62,15 @@ eval-report:
 		--vibe vibe_metrics.json --latency latency_metrics.json
 
 eval-all: eval-exact eval-report
+
+vibe-checkpoint-day:  ## docs/CLAP_RUNBOOK.md steps 2-5 (needs CLAP_CHECKPOINT)
+	@test -n "$(CLAP_CHECKPOINT)" || (echo "set CLAP_CHECKPOINT=/path/clap_audio.pt" && exit 1)
+	DATA_ROOT=$(DATA) $(PY) -m audio_ident_tpu.service.cli rebuild-index $(DATA)/raw
+	DATA_ROOT=$(DATA) $(PY) scripts/calibrate_vibe_threshold.py --corpus $(CORPUS) \
+		--json vibe_threshold.json
+	DATA_ROOT=$(DATA) $(PY) scripts/eval_vibe.py --corpus $(CORPUS) --json vibe_metrics.json
+	DATA_ROOT=$(DATA) $(PY) scripts/eval_report.py --exact exact_metrics.json \
+		--vibe vibe_metrics.json --latency latency_metrics.json
 
 dryrun-multichip:  ## validate the sharded path on a virtual CPU mesh
 	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \

@@ -8,6 +8,9 @@ re-checks parity on hardware (bench.py).
 import numpy as np
 import pytest
 
+# <5 min smoke tier: `make test-fast` / pytest -m fast (r3 verdict item 9)
+pytestmark = pytest.mark.fast
+
 from audio_ident_tpu import spec
 from audio_ident_tpu.cpu_reference.fingerprint import (
     fingerprint_np,

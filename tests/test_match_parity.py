@@ -8,6 +8,9 @@ device matcher to agree with the frozen NumPy semantics.
 import numpy as np
 import pytest
 
+# <5 min smoke tier: `make test-fast` / pytest -m fast (r3 verdict item 9)
+pytestmark = pytest.mark.fast
+
 from audio_ident_tpu import spec
 from audio_ident_tpu.cpu_reference.fingerprint import fingerprint_np
 from audio_ident_tpu.cpu_reference.match import match_votes_np

@@ -15,7 +15,7 @@ from audio_ident_tpu.service.state import EngineState
 
 from tests.conftest import synth_audio, wav_bytes
 
-pytestmark = pytest.mark.anyio
+pytestmark = [pytest.mark.anyio, pytest.mark.fast]  # fast: `make test-fast` smoke tier
 
 ADMIN = {"x-admin-key": "test-admin-key"}
 

@@ -17,7 +17,7 @@ from audio_ident_tpu.search.exact import (
 )
 from audio_ident_tpu.service.state import EngineState
 
-pytestmark = pytest.mark.anyio
+pytestmark = [pytest.mark.anyio, pytest.mark.fast]  # fast: `make test-fast` smoke tier
 
 
 def _cand(row, aligned, offset):

@@ -16,7 +16,7 @@ from audio_ident_tpu.index.store import FingerprintIndex, snapshot_exists
 from audio_ident_tpu.index.wal import ADD_EMB, ADD_FP, DELETE, WriteAheadLog
 from audio_ident_tpu.service.state import EngineState
 
-pytestmark = pytest.mark.anyio
+pytestmark = [pytest.mark.anyio, pytest.mark.fast]  # fast: `make test-fast` smoke tier
 
 
 def _records(wal: WriteAheadLog) -> list:
