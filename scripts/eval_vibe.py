@@ -1,15 +1,25 @@
-"""Vibe-lane retrieval quality: MRR and nDCG@5 on the eval corpus.
+"""Vibe-lane retrieval quality: MRR, nDCG@5, and the human rating sheet.
 
 Mirrors the reference's vibe metrics (reference:
-scripts/eval_vibe.py:55-456 — MRR >= 0.5, nDCG@5 >= 0.6; the "playlist-
-worthy" human-rating sheet stays a manual step).  Relevance ground truth
-is self-retrieval: a degraded clip of track X should retrieve X highly.
+scripts/eval_vibe.py:55-456 — MRR >= 0.5, nDCG@5 >= 0.6,
+playlist_worthy_rate >= 0.60).  Relevance ground truth for MRR/nDCG is
+self-retrieval: a degraded clip of track X should retrieve X highly.
+
+The "playlist-worthy" metric needs a human: evaluation writes
+``vibe_rating_sheet.csv`` next to the corpus (same columns as the
+reference, scripts/eval_vibe.py:248-272) with an empty ``human_score``
+column; a rater fills 1-5 per the protocol printed at the end, then
+``--score-sheet vibe_rating_sheet.csv`` computes playlist_worthy_rate
+(fraction of rated results scored >= 4) against the 0.60 target.
 
 Requires a CLAP checkpoint (CLAP_CHECKPOINT) or CLAP_RANDOM_INIT=1 for a
-pipeline smoke run.
+pipeline smoke run.  docs/CLAP_RUNBOOK.md is the checkpoint-day recipe.
 
 Usage:
     DATA_ROOT=./data python scripts/eval_vibe.py --corpus eval_corpus
+    # ... fill human_score in eval_corpus/vibe_rating_sheet.csv, then:
+    DATA_ROOT=./data python scripts/eval_vibe.py --corpus eval_corpus \
+        --score-sheet eval_corpus/vibe_rating_sheet.csv
 """
 
 from __future__ import annotations
@@ -40,6 +50,37 @@ from audio_ident_tpu.vector.search import DeviceVectorIndex  # noqa: E402
 from audio_ident_tpu.vector.store import VectorStore  # noqa: E402
 
 TARGETS = {"mrr": 0.5, "ndcg_at_5": 0.6}  # reference: eval_vibe.py:55-59
+# human-rated, scored separately via --score-sheet (reference: :58)
+PLAYLIST_WORTHY_TARGET = 0.60
+
+RATING_PROTOCOL = """\
+Next step: fill in human_score (1-5) in vibe_rating_sheet.csv
+  5 = Perfect vibe match ('add to same playlist without hesitation')
+  4 = Strong vibe match ('similar mood/energy, same playlist')
+  3 = Moderate match ('some shared qualities, noticeably different')
+  2 = Weak match ('I see why, but it's a stretch')
+  1 = No match ('completely different vibe')
+Then: python scripts/eval_vibe.py --corpus <corpus> \
+--score-sheet <corpus>/vibe_rating_sheet.csv"""
+
+RATING_FIELDS = [
+    "query_path", "query_label", "result_rank", "result_track_id",
+    "result_title", "result_artist", "result_similarity", "human_score",
+]
+
+
+def score_rating_sheet(path: Path) -> dict:
+    """playlist_worthy_rate from a human-filled rating sheet (reference
+    semantics: fraction of rated results scored >= 4, target 0.60)."""
+    with path.open() as f:
+        rows = list(csv.DictReader(f))
+    scored = [r for r in rows if r.get("human_score", "").strip()]
+    worthy = sum(1 for r in scored if float(r["human_score"]) >= 4.0)
+    return {
+        "playlist_worthy_rate": worthy / len(scored) if scored else None,
+        "rated_results": len(scored),
+        "unrated_results": len(rows) - len(scored),
+    }
 
 
 def evaluate(corpus: Path, settings) -> dict:
@@ -55,15 +96,18 @@ def evaluate(corpus: Path, settings) -> dict:
     dvi = DeviceVectorIndex.from_host(store, track_valid=fp_index.track_valid)
 
     title_to_id = {}
+    track_meta: dict[str, tuple[str, str]] = {}
     page = 1
     rows, _ = catalog.list_tracks(page=page, page_size=100)
     while rows:
         for r in rows:
             title_to_id[r.title] = r.id
+            track_meta[r.id] = (r.title, r.artist or "")
         page += 1
         rows, _ = catalog.list_tracks(page=page, page_size=100)
 
     rr, ndcg = [], []
+    rating_rows: list[dict] = []
     with (corpus / "ground_truth.csv").open() as f:
         gt = [r for r in csv.DictReader(f) if r["type"] == "positive"]
     for row in gt:
@@ -79,6 +123,27 @@ def evaluate(corpus: Path, settings) -> dict:
         else:
             rr.append(0.0)
             ndcg.append(0.0)
+        # human rating sheet: top-5 per query, rater fills human_score
+        # (reference columns: scripts/eval_vibe.py:248-272)
+        for k, s in enumerate(scores[:5]):
+            tid = fp_index.uuid_of(s.track_row)
+            title, artist = track_meta.get(tid, ("", ""))
+            rating_rows.append({
+                "query_path": str(corpus / row["clip"]),
+                "query_label": row["environment"],
+                "result_rank": str(k + 1),
+                "result_track_id": tid,
+                "result_title": title,
+                "result_artist": artist,
+                "result_similarity": f"{s.final_score:.4f}",
+                "human_score": "",
+            })
+
+    sheet = corpus / "vibe_rating_sheet.csv"
+    with sheet.open("w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=RATING_FIELDS)
+        w.writeheader()
+        w.writerows(rating_rows)
 
     metrics = {
         "mrr": sum(rr) / len(rr) if rr else None,
@@ -102,11 +167,30 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", type=Path, required=True)
     ap.add_argument("--json", type=Path, default=None)
+    ap.add_argument("--score-sheet", type=Path, default=None,
+                    help="score a human-filled vibe_rating_sheet.csv "
+                         "(playlist_worthy_rate vs 0.60) instead of "
+                         "running retrieval")
     args = ap.parse_args()
+    if args.score_sheet:
+        metrics = score_rating_sheet(args.score_sheet)
+        print(json.dumps(metrics, indent=2))
+        if args.json:
+            args.json.write_text(json.dumps(metrics))
+        rate = metrics["playlist_worthy_rate"]
+        if rate is None:
+            raise SystemExit("no rated rows in the sheet — fill human_score first")
+        if rate < PLAYLIST_WORTHY_TARGET:
+            print(f"TARGET FAILURE: playlist_worthy_rate {rate:.3f} "
+                  f"vs target {PLAYLIST_WORTHY_TARGET}")
+            raise SystemExit(1)
+        print("playlist_worthy_rate target met")
+        return
     metrics = evaluate(args.corpus, load_settings())
     print(json.dumps(metrics, indent=2))
     if args.json:
         args.json.write_text(json.dumps(metrics))
+    print(RATING_PROTOCOL)
     fails = [
         f"{k}: {metrics[k]:.3f} vs target {t}"
         for k, t in TARGETS.items()
