@@ -39,7 +39,11 @@ from audio_ident_tpu.service.audio import decode_wav  # noqa: E402
 ROOT = Path(__file__).resolve().parent.parent
 CACHE = ROOT / ".exp_cache"
 LIB = ROOT / "eval_lib"
-CORPUS = ROOT / "eval_corpus"
+# the r4 real-codec corpus supersedes the r3 one; use whichever exists
+CORPUS = next(
+    (p for p in (ROOT / "eval_corpus_r4", ROOT / "eval_corpus") if p.exists()),
+    ROOT / "eval_corpus",
+)
 
 
 # ---------------------------------------------------------------------------
@@ -68,6 +72,13 @@ class Variant:
     # suppresses reverb tails / stationary noise floors
     sub_time_radius: int | None = None
     sub_freq_radius: int | None = None
+    # CFAR-style variance normalization (v3 candidate): divide the
+    # mean-subtracted salience by the box STD, floored at this value (log
+    # units; 0 = off).  Colored noise (pink at low SNR) inflates the
+    # local variance in low bins, so spurious noise maxima get scaled
+    # down before the global top-K competition instead of displacing
+    # true music peaks band-wide.
+    cfar_floor_std: float = 0.0
     extras: dict = field(default_factory=dict)
 
 
@@ -122,7 +133,12 @@ def salience_q(mag: np.ndarray, v: Variant) -> np.ndarray:
         logmag = logmag - env
     str_ = v.sub_time_radius if v.sub_time_radius is not None else v.time_radius
     sfr = v.sub_freq_radius if v.sub_freq_radius is not None else v.freq_radius
-    sal = logmag - box_mean_2d(logmag, str_, sfr)
+    mean = box_mean_2d(logmag, str_, sfr)
+    sal = logmag - mean
+    if v.cfar_floor_std > 0.0:
+        var = box_mean_2d(logmag * logmag, str_, sfr) - mean * mean
+        std = np.sqrt(np.maximum(var, np.float32(v.cfar_floor_std) ** 2))
+        sal = sal / std
     return np.floor(sal * np.float32(spec.SALIENCE_QUANT)).astype(np.int32)
 
 
@@ -476,6 +492,23 @@ VARIANTS = {
     ),
     "tw31_d25": Variant(
         "tw31_d25", mode="global", sub_time_radius=31, peaks_per_sec=25
+    ),
+    # v3 candidates (round 4): CFAR variance normalization on top of the
+    # production v2 settings (tw31 + 30 peaks/s), floor-std sweep
+    "v2": Variant(
+        "v2", mode="global", sub_time_radius=31, peaks_per_sec=30
+    ),
+    "cfar25": Variant(
+        "cfar25", mode="global", sub_time_radius=31, peaks_per_sec=30,
+        cfar_floor_std=0.25,
+    ),
+    "cfar50": Variant(
+        "cfar50", mode="global", sub_time_radius=31, peaks_per_sec=30,
+        cfar_floor_std=0.5,
+    ),
+    "cfar100": Variant(
+        "cfar100", mode="global", sub_time_radius=31, peaks_per_sec=30,
+        cfar_floor_std=1.0,
     ),
 }
 
