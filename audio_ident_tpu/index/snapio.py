@@ -39,9 +39,16 @@ _THREADS = 2
 
 
 def save_arrays(
-    path: str | Path, arrays: dict[str, np.ndarray], level: int = _LEVEL
+    path: str | Path,
+    arrays: dict[str, np.ndarray],
+    level: int = _LEVEL,
+    threads: int = _THREADS,
 ) -> None:
-    """Atomically write ``arrays`` to ``path`` (tmp file + rename)."""
+    """Atomically write ``arrays`` to ``path`` (tmp file + rename).
+
+    ``threads=0`` disables zstd-internal multithreading — the per-shard
+    snapshot writer runs one single-threaded compressor per shard file
+    instead (parallelism across files, not within one)."""
     path = Path(path)
     tmp = path.with_name(path.name + ".tmp")
     header = {
@@ -49,7 +56,7 @@ def save_arrays(
         for name, a in arrays.items()
     }
     hdr = json.dumps(header).encode("utf-8")
-    cctx = zstandard.ZstdCompressor(level=level, threads=_THREADS)
+    cctx = zstandard.ZstdCompressor(level=level, threads=threads)
     with open(tmp, "wb") as raw:
         raw.write(MAGIC)
         raw.write(struct.pack("<I", len(hdr)))

@@ -124,7 +124,10 @@ class WriteAheadLog:
         self.segment_max_bytes = segment_max_bytes
         self.fsync = fsync
         self.fsync_interval_sec = fsync_interval_sec
-        self._last_fsync = 0.0
+        # -inf, not 0.0: the first interval-mode append must always fsync.
+        # time.monotonic() counts from boot, so a 0.0 sentinel silently
+        # skipped that first fsync on any host younger than the interval.
+        self._last_fsync = float("-inf")
         self._fh = None
         self._fh_path: Path | None = None
 

@@ -573,25 +573,34 @@ class EngineState:
 
     async def compact(self) -> int:
         """Fold the delta into the main CSR.  Returns postings merged."""
-        from audio_ident_tpu.utils.native import merge_postings_csr
+        from audio_ident_tpu.index.store import compute_ranged_merge
+        from audio_ident_tpu.utils import native
 
         async with self._write_lock:
             if self._closed:
                 return 0
-            # flush on the device-dispatch thread: it re-sorts the delta
-            # arrays in place, which must not race a mirror rebuild
-            await self._run(self.fp_index.flush)
-            n_delta = len(self.fp_index.d_hash)
+            # capture on the device-dispatch thread (atomic vs any in-flight
+            # mirror-rebuild flush); the captured arrays are copy-on-write,
+            # so the bounded hash-range merge runs as a pure function off
+            # thread while searches keep serving from the current mirror
+            inputs = await self._run(self.fp_index.capture_merge_inputs)
+            n_delta = len(inputs.d_hash) + sum(len(p[0]) for p in inputs.pending)
             if n_delta == 0:
                 return 0
-            args = (
-                self.fp_index.offsets, self.fp_index.tracks, self.fp_index.times,
-                self.fp_index.d_hash, self.fp_index.d_track, self.fp_index.d_time,
-                self.fp_index.track_valid,
-            )
-            # the merge is a pure function of the captured references; the
-            # writer lock guarantees nothing mutates them meanwhile
-            r, t, offsets = await asyncio.to_thread(merge_postings_csr, *args)
+            if native.has_merge_csr_range():
+                offsets, r, t = await asyncio.to_thread(
+                    compute_ranged_merge, inputs
+                )
+            else:  # NumPy-fallback environments (no C++ toolchain)
+                await self._run(self.fp_index.flush)
+                r, t, offsets = await asyncio.to_thread(
+                    native.merge_postings_csr,
+                    self.fp_index.offsets, self.fp_index.tracks,
+                    self.fp_index.times, self.fp_index.d_hash,
+                    self.fp_index.d_track, self.fp_index.d_time,
+                    self.fp_index.track_valid,
+                )
+            del inputs
             # install on the device-dispatch thread (serializes with any
             # in-flight device-mirror rebuild reading the old arrays)
             await self._run(self.fp_index.apply_merge, offsets, r, t)

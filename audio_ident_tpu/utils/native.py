@@ -113,6 +113,15 @@ def native_lib() -> ctypes.CDLL | None:
     if hasattr(lib, "ai_count_live"):
         lib.ai_count_live.argtypes = [i32p, ctypes.c_int64, u8p, ctypes.c_int64]
         lib.ai_count_live.restype = ctypes.c_int64
+    if hasattr(lib, "ai_merge_csr_range"):
+        lib.ai_merge_csr_range.argtypes = [
+            i64p, i32p, i32p,
+            i32p, i32p, i32p, ctypes.c_int64,
+            u8p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, i64p,
+        ]
+        lib.ai_merge_csr_range.restype = ctypes.c_int64
     lib.ai_hamming_batch.argtypes = [
         u32p, ctypes.c_int64, u32p, i64p, ctypes.c_int64, f64p,
     ]
@@ -246,6 +255,82 @@ def merge_postings_csr(
     counts = np.diff(np.asarray(offsets_a, np.int64))
     h_a = np.repeat(np.arange(spec.HASH_SPACE, dtype=np.int32), counts)
     return merge_postings(h_a, r_a, t_a, h_b, r_b, t_b, track_valid)
+
+
+def malloc_trim() -> None:
+    """Return freed heap pages to the OS (glibc ``malloc_trim(0)``).
+
+    The pending list frees ~100k small (sub-mmap-threshold) NumPy chunks
+    during consolidation; glibc keeps those pages in its arenas, so peak-RSS
+    accounting would charge the compaction for memory it already released.
+    ``malloc_trim`` madvises interior free blocks page-by-page, making the
+    release visible.  No-op on non-glibc platforms.
+    """
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.malloc_trim(ctypes.c_size_t(0))
+    except (OSError, AttributeError):
+        pass
+
+
+def count_live(tracks: np.ndarray, track_valid: np.ndarray) -> int:
+    """Number of postings whose track survives the tombstone filter."""
+    lib = native_lib()
+    r = np.ascontiguousarray(tracks, np.int32)
+    if lib is not None and hasattr(lib, "ai_count_live"):
+        tv = np.ascontiguousarray(track_valid, np.uint8)
+        return int(lib.ai_count_live(r, len(r), tv, len(tv)))
+    ok = (r >= 0) & (r < len(track_valid))
+    return int(np.count_nonzero(track_valid[np.clip(r, 0, len(track_valid) - 1)] & ok))
+
+
+def has_merge_csr_range() -> bool:
+    lib = native_lib()
+    return lib is not None and hasattr(lib, "ai_merge_csr_range")
+
+
+def merge_csr_range(
+    offsets_a: np.ndarray,
+    r_a: np.ndarray,
+    t_a: np.ndarray,
+    h_b: np.ndarray,
+    r_b: np.ndarray,
+    t_b: np.ndarray,
+    track_valid: np.ndarray,
+    h_lo: int,
+    h_hi: int,
+    r_out: np.ndarray,
+    t_out: np.ndarray,
+    offsets_out: np.ndarray,
+) -> int:
+    """Merge hash buckets [h_lo, h_hi) of the main CSR with a sorted delta
+    slice (absolute hashes, all within the range), writing postings into
+    ``r_out``/``t_out`` from index 0 and RELATIVE cumulative counts into
+    ``offsets_out`` (length h_hi - h_lo).  Returns the postings written.
+
+    The caller passes views into the preallocated final arrays — this is
+    the bounded-memory compaction primitive (see FingerprintIndex.merge_delta).
+    """
+    lib = native_lib()
+    assert lib is not None and hasattr(lib, "ai_merge_csr_range")
+    return int(
+        lib.ai_merge_csr_range(
+            np.ascontiguousarray(offsets_a, np.int64),
+            np.ascontiguousarray(r_a, np.int32),
+            np.ascontiguousarray(t_a, np.int32),
+            np.ascontiguousarray(h_b, np.int32),
+            np.ascontiguousarray(r_b, np.int32),
+            np.ascontiguousarray(t_b, np.int32),
+            len(h_b),
+            np.ascontiguousarray(track_valid, np.uint8),
+            len(track_valid),
+            h_lo,
+            h_hi,
+            r_out,
+            t_out,
+            offsets_out,
+        )
+    )
 
 
 def hamming_batch(query: np.ndarray, candidates: list[np.ndarray]) -> np.ndarray:

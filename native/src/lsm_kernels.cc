@@ -144,6 +144,49 @@ int64_t ai_merge_csr(
   return out;
 }
 
+// Hash-range slice of ai_merge_csr: merge buckets [h_lo, h_hi) of the main
+// CSR with a (hash,track,time)-sorted delta slice covering exactly that
+// range (absolute hash values).  Writes the range's postings from r_out[0]
+// and the RELATIVE cumulative counts into offsets_out[h - h_lo] (the caller
+// rebases by its running cursor).  Returns the range's output count.
+//
+// Running the compaction as K such passes bounds its working set: the
+// caller gathers + sorts only one range's delta at a time and writes
+// straight into the exact-size final arrays, so peak extra memory is the
+// output generation plus one range's gather — not the 33.8 GB the r4
+// whole-index flush+merge spiked at 864M postings (durability_r4.json).
+int64_t ai_merge_csr_range(
+    const int64_t* offsets_a, const int32_t* r_a, const int32_t* t_a,
+    const int32_t* h_b, const int32_t* r_b, const int32_t* t_b, int64_t n_b,
+    const uint8_t* track_valid, int64_t max_tracks,
+    int64_t h_lo, int64_t h_hi,
+    int32_t* r_out, int32_t* t_out, int64_t* offsets_out) {
+  int64_t ib = 0, out = 0;
+  auto rt = [](uint32_t r, uint32_t t) {
+    return (static_cast<uint64_t>(r) << kTimeBits) | static_cast<uint64_t>(t);
+  };
+  for (int64_t h = h_lo; h < h_hi; ++h) {
+    int64_t ia = offsets_a[h];
+    const int64_t ea = offsets_a[h + 1];
+    while (ia < ea || (ib < n_b && h_b[ib] == h)) {
+      bool take_a;
+      if (ia >= ea) take_a = false;
+      else if (ib >= n_b || h_b[ib] != h) take_a = true;
+      else take_a = rt(static_cast<uint32_t>(r_a[ia]), static_cast<uint32_t>(t_a[ia])) <=
+                    rt(static_cast<uint32_t>(r_b[ib]), static_cast<uint32_t>(t_b[ib]));
+      int32_t r, t;
+      if (take_a) { r = r_a[ia]; t = t_a[ia]; ++ia; }
+      else        { r = r_b[ib]; t = t_b[ib]; ++ib; }
+      if (r < 0 || r >= max_tracks || !track_valid[r]) continue;
+      r_out[out] = r;
+      t_out[out] = t;
+      ++out;
+    }
+    offsets_out[h - h_lo] = out;
+  }
+  return out;
+}
+
 // Count postings whose track survives the tombstone filter — lets the
 // merge caller allocate EXACT-size outputs instead of main+delta upper
 // bound + prefix copy (round 2's extra full-index copy was the biggest

@@ -127,3 +127,131 @@ def test_autobuild_on_first_use(tmp_path, monkeypatch):
         assert not list(tmp_path.glob(".libaudioident.*"))
     finally:
         nat.native_lib.cache_clear()
+
+
+def _build_index(rng, n_tracks=24, tombstone_every=5, time_max=100_000):
+    from audio_ident_tpu.index.store import FingerprintIndex
+
+    idx = FingerprintIndex(max_tracks=1 << 10)
+    for i in range(n_tracks):
+        n = int(rng.integers(500, 3000))
+        idx.add_track(
+            f"00000000-0000-0000-0000-{i:012d}",
+            rng.integers(0, spec.HASH_SPACE, n).astype(np.int64),
+            rng.integers(0, time_max, n).astype(np.int32),
+        )
+    # split state across all three tiers: main CSR, sorted delta, pending
+    idx.merge_delta()
+    for i in range(n_tracks, n_tracks + 8):
+        n = int(rng.integers(500, 3000))
+        idx.add_track(
+            f"00000000-0000-0000-0000-{i:012d}",
+            rng.integers(0, spec.HASH_SPACE, n).astype(np.int64),
+            rng.integers(0, time_max, n).astype(np.int32),
+        )
+    idx.flush()  # -> sorted delta
+    for i in range(n_tracks + 8, n_tracks + 14):
+        n = int(rng.integers(500, 3000))
+        idx.add_track(
+            f"00000000-0000-0000-0000-{i:012d}",
+            rng.integers(0, spec.HASH_SPACE, n).astype(np.int64),
+            rng.integers(0, time_max, n).astype(np.int32),
+        )  # -> unsorted pending
+    for i in range(0, n_tracks + 14, tombstone_every):
+        idx.delete_track(f"00000000-0000-0000-0000-{i:012d}")
+    return idx
+
+
+@pytest.mark.fast
+def test_ranged_merge_bit_identical_to_whole_merge():
+    """compute_ranged_merge (bounded-memory compaction, r4 verdict item 5)
+    must produce BIT-IDENTICAL arrays to the legacy flush+whole-CSR merge,
+    across main+delta+pending tiers and tombstones, at every range count
+    (budget forces 1, a few, and many hash-range passes)."""
+    from audio_ident_tpu.index.store import compute_ranged_merge
+    from audio_ident_tpu.utils.native import merge_postings_csr
+
+    rng = np.random.default_rng(7)
+    idx = _build_index(rng)
+
+    # legacy oracle: full flush + single CSR merge
+    import copy
+
+    legacy = copy.deepcopy(idx)
+    legacy.flush()
+    r0, t0, off0 = merge_postings_csr(
+        legacy.offsets, legacy.tracks, legacy.times,
+        legacy.d_hash, legacy.d_track, legacy.d_time,
+        legacy.track_valid,
+    )
+
+    for budget in (None, 1 << 30, 200_000, 20_000):
+        inputs = idx.capture_merge_inputs()
+        off1, r1, t1 = compute_ranged_merge(inputs, budget)
+        np.testing.assert_array_equal(r1, r0)
+        np.testing.assert_array_equal(t1, t0)
+        np.testing.assert_array_equal(off1, off0)
+
+
+@pytest.mark.fast
+def test_consolidate_pending_preserves_merge_output():
+    """Destructive pending consolidation (bulk-rebuild path) must not
+    change the compaction result, and merge_delta with a tiny budget must
+    equal merge_delta with the default."""
+    import copy
+
+    rng = np.random.default_rng(8)
+    idx = _build_index(rng)
+    twin = copy.deepcopy(idx)
+
+    assert idx.pending_bytes > 0
+    n_before = idx.delta_count
+    idx.consolidate_pending(run_postings=4000)  # force several runs
+    assert idx.delta_count == n_before
+    assert len(idx._pending) > 1  # actually produced multiple sorted runs
+    idx.merge_delta(budget_bytes=50_000)
+    twin.merge_delta()
+
+    np.testing.assert_array_equal(idx.tracks, twin.tracks)
+    np.testing.assert_array_equal(idx.times, twin.times)
+    np.testing.assert_array_equal(idx.offsets, twin.offsets)
+    assert idx.delta_count == 0 and len(idx._pending) == 0
+
+
+@pytest.mark.fast
+def test_merge_csr_range_covers_full_space():
+    """Stitching every range pass equals the unranged kernel output."""
+    from audio_ident_tpu.utils.native import merge_csr_range, merge_postings_csr
+
+    rng = np.random.default_rng(9)
+    h_a, r_a, t_a = sort_postings(*_rand_postings(40_000, rng))
+    counts = np.bincount(h_a, minlength=spec.HASH_SPACE)
+    offsets_a = np.zeros(spec.HASH_SPACE + 1, np.int64)
+    np.cumsum(counts, out=offsets_a[1:])
+    h_b, r_b, t_b = sort_postings(*_rand_postings(15_000, rng))
+    track_valid = rng.random(1000) > 0.15
+
+    r0, t0, off0 = merge_postings_csr(
+        offsets_a, r_a, t_a, h_b, r_b, t_b, track_valid)
+
+    n_ranges = 16
+    shift = spec.HASH_BITS - 4
+    r1 = np.empty(len(r0), np.int32)
+    t1 = np.empty(len(t0), np.int32)
+    off1 = np.zeros(spec.HASH_SPACE + 1, np.int64)
+    cursor = 0
+    db = np.searchsorted(
+        h_b, (np.arange(n_ranges + 1, dtype=np.int64) << shift))
+    for k in range(n_ranges):
+        lo, hi = k << shift, (k + 1) << shift
+        view = off1[lo + 1: hi + 1]
+        n = merge_csr_range(
+            offsets_a, r_a, t_a,
+            h_b[db[k]:db[k + 1]], r_b[db[k]:db[k + 1]], t_b[db[k]:db[k + 1]],
+            track_valid, lo, hi, r1[cursor:], t1[cursor:], view,
+        )
+        view += cursor
+        cursor += n
+    np.testing.assert_array_equal(r1, r0)
+    np.testing.assert_array_equal(t1, t0)
+    np.testing.assert_array_equal(off1, off0)

@@ -88,23 +88,25 @@ def test_incremental_snapshot_reuses_main_csr(tmp_path):
     import json as _json
 
     man1 = _json.loads((tmp_path / "MANIFEST.json").read_text())
-    main_stat1 = (tmp_path / man1["main"]).stat()
+    main_stats1 = [(tmp_path / n).stat() for n in man1["main_shards"]]
 
-    # more ingests, NO compaction -> main file untouched, delta rewritten
+    # more ingests, NO compaction -> main shards untouched, delta rewritten
     idx.add_track("00000000-0000-0000-0000-000000000002", *_fake_postings(rng, 500))
     write_snapshot(tmp_path, idx.freeze())
     man2 = _json.loads((tmp_path / "MANIFEST.json").read_text())
-    assert man2["main"] == man1["main"]
-    st = (tmp_path / man2["main"]).stat()
-    assert (st.st_mtime_ns, st.st_ino) == (main_stat1.st_mtime_ns, main_stat1.st_ino)
+    assert man2["main_shards"] == man1["main_shards"]
+    for name, st1 in zip(man2["main_shards"], main_stats1):
+        st = (tmp_path / name).stat()
+        assert (st.st_mtime_ns, st.st_ino) == (st1.st_mtime_ns, st1.st_ino)
     assert man2["delta"] != man1["delta"]
 
     # compaction -> a NEW main generation; the old one is GC'd
     idx.merge_delta()
     write_snapshot(tmp_path, idx.freeze())
     man3 = _json.loads((tmp_path / "MANIFEST.json").read_text())
-    assert man3["main"] != man1["main"]
-    assert not (tmp_path / man1["main"]).exists()
+    assert man3["main_shards"] != man1["main_shards"]
+    for name in man1["main_shards"]:
+        assert not (tmp_path / name).exists()
 
     # the loaded index round-trips (both tracks, correct merge_gen)
     idx2 = FingerprintIndex.load(tmp_path)
@@ -160,3 +162,82 @@ def test_load_round2_monolithic_layout(tmp_path):
     assert idx.num_tracks == 2
     np.testing.assert_array_equal(idx.d_hash, src.d_hash)
     np.testing.assert_array_equal(idx.tracks, src.tracks)
+
+
+@pytest.mark.fast
+def test_sharded_snapshot_roundtrip_bit_exact(tmp_path, monkeypatch):
+    """Per-shard main-CSR snapshot files (r4 verdict item 4): the
+    preconditioned payload (track deltas, split 17-bit times) must restore
+    BIT-IDENTICALLY across shard counts and zstd levels, with tombstones
+    and a live delta in play."""
+    from audio_ident_tpu.index.store import FingerprintIndex, write_snapshot
+
+    rng = np.random.default_rng(12)
+    idx = FingerprintIndex(max_tracks=64)
+    for i in range(6):
+        idx.add_track(f"00000000-0000-0000-0000-{i:012d}",
+                      *_fake_postings(rng, 700))
+    idx.delete_track("00000000-0000-0000-0000-000000000003")
+    idx.merge_delta()
+    for i in range(6, 9):  # live delta on top of the compacted main
+        idx.add_track(f"00000000-0000-0000-0000-{i:012d}",
+                      *_fake_postings(rng, 300))
+    idx.flush()
+
+    for shards, level in (("1", "1"), ("4", "-3"), ("16", "3")):
+        monkeypatch.setenv("AUDIO_IDENT_SNAPSHOT_SHARDS", shards)
+        monkeypatch.setenv("AUDIO_IDENT_SNAPSHOT_ZSTD", level)
+        d = tmp_path / f"s{shards}"
+        write_snapshot(d, idx.freeze())
+        assert len(list(d.glob("main-*.snap"))) == int(shards)
+        reborn = FingerprintIndex.load(d)
+        np.testing.assert_array_equal(reborn.offsets, idx.offsets)
+        np.testing.assert_array_equal(reborn.tracks, idx.tracks)
+        np.testing.assert_array_equal(reborn.times, idx.times)
+        np.testing.assert_array_equal(reborn.d_hash, idx.d_hash)
+        np.testing.assert_array_equal(reborn.d_track, idx.d_track)
+        np.testing.assert_array_equal(reborn.d_time, idx.d_time)
+        np.testing.assert_array_equal(reborn.track_valid, idx.track_valid)
+        assert reborn.row_to_uuid == idx.row_to_uuid
+        assert reborn.merge_gen == idx.merge_gen
+
+
+def test_load_round3_single_main_layout(tmp_path):
+    """Snapshots written by the r3/r4 incremental layout (one main file,
+    absolute offsets, raw tracks/times) must still load."""
+    import json as _json
+
+    from audio_ident_tpu import spec
+    from audio_ident_tpu.index import snapio
+    from audio_ident_tpu.index.store import FingerprintIndex
+
+    rng = np.random.default_rng(13)
+    idx = FingerprintIndex(max_tracks=64)
+    for i in range(3):
+        idx.add_track(f"00000000-0000-0000-0000-{i:012d}",
+                      *_fake_postings(rng, 400))
+    idx.merge_delta()
+
+    snapio.save_arrays(tmp_path / "main-000000000001.snap", {
+        "format_version": np.array(spec.FORMAT_VERSION, np.int32),
+        "offsets": idx.offsets,
+        "tracks": idx.tracks,
+        "times": idx.times,
+    })
+    snapio.save_arrays(tmp_path / "delta-000000000004.snap", {
+        "format_version": np.array(spec.FORMAT_VERSION, np.int32),
+        "d_hash": idx.d_hash, "d_track": idx.d_track, "d_time": idx.d_time,
+        "track_valid": idx.track_valid,
+    })
+    snapio.atomic_write_text(tmp_path / "registry-000000000004.json",
+        _json.dumps({"rows": idx.row_to_uuid, "max_tracks": idx.max_tracks}))
+    snapio.atomic_write_text(tmp_path / "MANIFEST.json", _json.dumps({
+        "main": "main-000000000001.snap",
+        "delta": "delta-000000000004.snap",
+        "registry": "registry-000000000004.json",
+        "version": idx.version, "merge_gen": idx.merge_gen,
+    }))
+    reborn = FingerprintIndex.load(tmp_path)
+    np.testing.assert_array_equal(reborn.offsets, idx.offsets)
+    np.testing.assert_array_equal(reborn.tracks, idx.tracks)
+    np.testing.assert_array_equal(reborn.times, idx.times)
