@@ -115,21 +115,25 @@ def _degrade(
 
 def _cell_plan(per_cell: int, per_cell_other: int) -> list[tuple[str, str | None]]:
     """Per-clip (environment, noise_kind) assignments with EXACT per-cell
-    counts.  The weak axes from the r3 verdict (white-noise SNR sweep and
-    the mic chain — the cells whose ~11-clip samples produced
-    non-monotonic noise like snr5-white 0.667 vs snr20-white 0.875) get
-    ``per_cell`` clips each; every other cell gets ``per_cell_other``."""
+    counts.  Weak-axis cells get ``per_cell`` clips each so their Wilson
+    CIs carry statistical weight; every other cell gets
+    ``per_cell_other``.  The weak set grows with the evidence: r3 flagged
+    the white-noise sweep and the mic chain (~11-clip cells produced
+    non-monotonic noise); r4's measured floor moved to PINK noise at low
+    SNR (snr0-pink 0.667 at n=30 was the worst cell but was left out of
+    the power boost — r4 verdict weak #2), so the pink sweep now gets the
+    full ``per_cell`` treatment too."""
     plan: list[tuple[str, str | None]] = []
-    for db in SNR_SWEEP_DB:  # weak axis 1: white-noise SNR sweep
-        plan += [(f"snr{int(db)}", "white")] * per_cell
+    for kind in ("white", "pink"):  # weak axes 1+3: noise sweeps
+        for db in SNR_SWEEP_DB:
+            plan += [(f"snr{int(db)}", kind)] * per_cell
     plan += [("mic", None)] * per_cell  # weak axis 2: mic capture
     plan += [("clean", None)] * per_cell_other
     plan += [("browser", None)] * per_cell_other
     for codec, br in CODEC_POINTS:
         plan += [(f"{codec}@{br}k", None)] * per_cell_other
-    for kind in ("pink", "babble"):
-        for db in SNR_SWEEP_DB:
-            plan += [(f"snr{int(db)}", kind)] * per_cell_other
+    for db in SNR_SWEEP_DB:
+        plan += [(f"snr{int(db)}", "babble")] * per_cell_other
     return plan
 
 

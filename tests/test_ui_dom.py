@@ -61,6 +61,94 @@ def test_harness_passes_headless(tmp_path):
     )
 
 
+def _template_interpolations(src: str) -> set[str]:
+    lits = re.findall(r"`[^`]*`", src, re.S)
+    out: set[str] = set()
+    for lit in lits:
+        out |= set(re.findall(r"\$\{([^{}]*(?:\{[^{}]*\}[^{}]*)*)\}", lit))
+    return out
+
+
+# Wrappers that neutralize attacker bytes before they reach innerHTML.
+SAFE_WRAPPERS = ("esc(", "encodeURIComponent(", "Number(", "String(", "fmtDur(")
+
+# Raw interpolations audited by hand; each entry pins the EXACT expression
+# and why it is safe.  A new unwrapped ${...} anywhere in app.js fails the
+# taint test until it is either wrapped or consciously added here.
+RAW_ALLOWLIST = {
+    "h.status": "textContent sink (app.js health line), not innerHTML",
+    "h.version": "textContent sink, not innerHTML",
+    "m": "fmtDur internal: Math.floor of a number",
+    "p": "pagination state: clamped integer from code, never server data",
+    "title": "render() argument: always a code literal ('Tracks', ...)",
+    "e.message": "alert() sink, not innerHTML",
+    "MIN_SEC": "code constant",
+    "((Date.now() - recStart) / 1000).toFixed(0)": "number.toFixed",
+    'p <= 1 ? "disabled" : ""': "literal-only ternary",
+    'p >= totalPages ? "disabled" : ""': "literal-only ternary",
+    "items.length ? items.map(render).join(\"\") : \"<p class='dim'>no matches</p>\"":
+        "composition of already-escaped render() output",
+}
+
+
+def test_innerHTML_interpolations_all_escaped_or_audited():
+    """Executable XSS taint gate (r4 verdict item 7: the DOM harness cannot
+    run in this JS-less image, so the gate enforces the invariant the
+    harness checks — no server-derived byte reaches innerHTML unescaped —
+    by exhaustive source analysis of the REAL app.js).
+
+    Every ``${...}`` in every template literal must begin with a
+    neutralizing wrapper or appear verbatim in the hand-audited raw
+    allowlist.  Svelte gave the reference this for free
+    (reference: audio-ident-ui/src/lib/components/SearchResults.svelte);
+    this test is our compiler."""
+    unaudited = {
+        e
+        for e in _template_interpolations(APP)
+        if not e.strip().startswith(SAFE_WRAPPERS) and e.strip() not in RAW_ALLOWLIST
+    }
+    assert not unaudited, (
+        "unescaped template interpolation(s) reach innerHTML paths — wrap "
+        f"in esc()/Number()/encodeURIComponent() or audit: {sorted(unaudited)}"
+    )
+    stale = {e for e in RAW_ALLOWLIST if e not in _template_interpolations(APP)}
+    assert not stale, f"allowlist entries no longer in app.js: {sorted(stale)}"
+
+
+def test_esc_twin_neutralizes_hostile_payloads():
+    """Execute the escaping SEMANTICS: a Python twin of app.js esc() —
+    pinned to the JS source by the drift assertion below — must leave no
+    active HTML metacharacters for text- and attribute-context payloads."""
+    m = re.search(
+        r"function esc\(v\) \{\s*return String\(v \?\? \"\"\)"
+        r"\.replace\(/\[&<>\"'\]/g", APP)
+    assert m, "app.js esc() changed shape — update the Python twin + test"
+
+    def esc_twin(v: str) -> str:
+        table = {"&": "&amp;", "<": "&lt;", ">": "&gt;",
+                 '"': "&quot;", "'": "&#39;"}
+        return "".join(table.get(c, c) for c in v)
+
+    hostile = [
+        "<script>alert(1)</script>",
+        '"><img src=x onerror=alert(1)>',
+        "'><svg onload=alert(1)>",
+        "&lt;already&gt; <b>bold</b>",
+        'attr" autofocus onfocus="alert(1)',
+    ]
+    for payload in hostile:
+        out = esc_twin(payload)
+        assert "<" not in out and ">" not in out
+        assert '"' not in out and "'" not in out
+        # only entity-ampersands survive
+        assert not re.search(r"&(?!amp;|lt;|gt;|quot;|#39;)", out)
+        # round-trip: unescaping restores the exact payload (lossless)
+        back = (out.replace("&lt;", "<").replace("&gt;", ">")
+                .replace("&quot;", '"').replace("&#39;", "'")
+                .replace("&amp;", "&"))
+        assert back == payload
+
+
 def test_harness_covers_every_interpolated_field():
     """Every ${esc(...)} field app.js renders must be exercised with a
     hostile value by the harness's canned payloads."""
