@@ -43,6 +43,23 @@ class DeviceIndex:
     d_count: jax.Array  # int32 scalar
     track_valid: jax.Array  # bool [max_tracks]
     version: int = -1
+    merge_gen: int = -1  # keys the resident main tier (see from_host)
+
+    @staticmethod
+    def delta_pad_min() -> int:
+        """Pad floor for the delta tier's device arrays.
+
+        On a real accelerator the floor is 2^20 postings so the delta
+        tier's padded SHAPE is constant between compactions: the query
+        program is keyed on array shapes, and each pow2 growth of the
+        delta under concurrent ingest was a multi-minute cold XLA compile
+        serialized onto the serving path (observed on the 100k
+        mixed-workload bench through the remote compiler).  2^20 x 12 B
+        = 12 MB — noise in HBM and ~70 ms per re-upload.  CPU (the test
+        suite) keeps the small floor: XLA:CPU sort/searchsorted codegen
+        is ~8 s per op and tests build hundreds of tiny mirrors.
+        """
+        return (1 << 20) if jax.default_backend() != "cpu" else 1024
 
     @staticmethod
     def _pad_pow2(a: np.ndarray, fill, min_cap: int = 1024) -> np.ndarray:
@@ -59,8 +76,19 @@ class DeviceIndex:
         return out
 
     @classmethod
-    def from_host(cls, idx, device=None) -> "DeviceIndex":
-        """Build from a FingerprintIndex (flushes pending first)."""
+    def from_host(cls, idx, device=None, prev: "DeviceIndex | None" = None) -> "DeviceIndex":
+        """Build from a FingerprintIndex (flushes pending first).
+
+        ``prev``: the previous mirror, if any.  The main CSR changes ONLY
+        at LSM compaction (merge_gen), so when the generation matches, the
+        resident device arrays for the main tier are REUSED and only the
+        delta + tombstones re-upload.  Without this, every ingest-then-
+        query cycle re-shipped the whole main run host->device — 3.4 GB
+        per bump at 100k tracks, which serialized minutes of transfer on
+        the serving path under concurrent ingest (the BASELINE pod row's
+        "concurrent bulk ingest + query" workload).  The same incremental
+        split the on-disk snapshots use (store.write_snapshot).
+        """
         idx.flush()
         if len(idx.tracks) > np.iinfo(np.int32).max:
             raise ValueError(
@@ -68,17 +96,28 @@ class DeviceIndex:
                 "index over a mesh (MESH_SHARDS) instead"
             )
         put = functools.partial(jax.device_put, device=device)
+        dmin = cls.delta_pad_min()
+        if prev is not None and prev.merge_gen == idx.merge_gen:
+            offsets, tracks, times, n_main = (
+                prev.offsets, prev.tracks, prev.times, prev.n_main
+            )
+        else:
+            offsets = put(idx.offsets.astype(np.int32))
+            tracks = put(cls._pad_pow2(idx.tracks, 0))
+            times = put(cls._pad_pow2(idx.times, 0))
+            n_main = put(np.int32(len(idx.tracks)))
         return cls(
-            offsets=put(idx.offsets.astype(np.int32)),
-            tracks=put(cls._pad_pow2(idx.tracks, 0)),
-            times=put(cls._pad_pow2(idx.times, 0)),
-            n_main=put(np.int32(len(idx.tracks))),
-            d_hash=put(cls._pad_pow2(idx.d_hash, HASH_SENTINEL)),
-            d_track=put(cls._pad_pow2(idx.d_track, 0)),
-            d_time=put(cls._pad_pow2(idx.d_time, 0)),
+            offsets=offsets,
+            tracks=tracks,
+            times=times,
+            n_main=n_main,
+            d_hash=put(cls._pad_pow2(idx.d_hash, HASH_SENTINEL, dmin)),
+            d_track=put(cls._pad_pow2(idx.d_track, 0, dmin)),
+            d_time=put(cls._pad_pow2(idx.d_time, 0, dmin)),
             d_count=put(np.int32(len(idx.d_hash))),
             track_valid=put(idx.track_valid),
             version=idx.version,
+            merge_gen=idx.merge_gen,
         )
 
 
@@ -306,5 +345,5 @@ jax.tree_util.register_dataclass(
         "offsets", "tracks", "times", "n_main",
         "d_hash", "d_track", "d_time", "d_count", "track_valid",
     ],
-    meta_fields=["version"],
+    meta_fields=["version", "merge_gen"],
 )

@@ -427,9 +427,13 @@ class FingerprintIndex:
         self.row_to_uuid: list[str] = []
         self.uuid_to_row: dict[str, int] = {}
         self.version = 0  # bumped on every mutation (device cache key)
-        # bumped only by apply_merge: keys the on-disk main-CSR snapshot
-        # file, which is immutable between compactions (incremental
-        # snapshots reuse it instead of rewriting ~46 GB per checkpoint)
+        # bumped only by apply_merge: keys BOTH the on-disk main-CSR
+        # snapshot files (immutable between compactions — incremental
+        # snapshots reuse them instead of rewriting ~46 GB per checkpoint)
+        # AND the device mirror's main tier (DeviceIndex.from_host reuses
+        # the resident main arrays between compactions and re-uploads only
+        # the delta — a full main re-upload per ingest was the serving-
+        # under-ingest bottleneck: 3.4 GB per version bump at 100k tracks)
         self.merge_gen = 0
 
     # -- registry ------------------------------------------------------------

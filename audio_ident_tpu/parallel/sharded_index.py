@@ -44,13 +44,22 @@ def make_index_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), (SHARD_AXIS,))
 
 
-def _pad_rows(rows: list[np.ndarray], fill) -> np.ndarray:
-    cap = max(max((len(r) for r in rows), default=1), 1)
+def _pad_rows(rows: list[np.ndarray], fill, min_cap: int = 1) -> np.ndarray:
+    cap = max(max((len(r) for r in rows), default=1), 1, min_cap)
     cap = 1 << int(np.ceil(np.log2(cap)))
     out = np.full((len(rows), cap), fill, dtype=rows[0].dtype)
     for i, r in enumerate(rows):
         out[i, : len(r)] = r
     return out
+
+
+def _delta_row_pad_min(n_shards: int) -> int:
+    """Per-shard delta pad floor (see DeviceIndex.delta_pad_min): keeps the
+    sharded delta tier's shape constant between compactions so serving on
+    the mesh never recompiles under concurrent ingest."""
+    from audio_ident_tpu.index.match import DeviceIndex
+
+    return max(1, DeviceIndex.delta_pad_min() // n_shards)
 
 
 @dataclass
@@ -67,11 +76,22 @@ class ShardedDeviceIndex:
     hash_base: jax.Array  # int32 [D] range starts
     track_valid: jax.Array  # bool [max_tracks] (replicated)
     version: int = -1
+    merge_gen: int = -1  # keys the resident main tier (see from_host)
 
     @classmethod
-    def from_host(cls, idx, mesh: Mesh) -> "ShardedDeviceIndex":
-        """Slice the host index into per-device hash ranges and place it."""
+    def from_host(
+        cls, idx, mesh: Mesh, prev: "ShardedDeviceIndex | None" = None
+    ) -> "ShardedDeviceIndex":
+        """Slice the host index into per-device hash ranges and place it.
+
+        Like the single-chip mirror, the sharded main tier is REUSED when
+        ``prev`` carries the same merge generation — between compactions
+        only the (small) delta and tombstones cross the host->ICI boundary,
+        so serving under concurrent ingest never re-ships the multi-GB
+        main run."""
         idx.flush()
+        if prev is not None and prev.merge_gen == idx.merge_gen:
+            return cls._delta_update(idx, mesh, prev)
         d = mesh.devices.size
         if spec.HASH_SPACE % d:
             raise ValueError(f"mesh size {d} must divide HASH_SPACE")
@@ -106,13 +126,45 @@ class ShardedDeviceIndex:
             offsets=put_s(np.stack(offsets_rows)),
             tracks=put_s(_pad_rows(trk_rows, 0)),
             times=put_s(_pad_rows(tim_rows, 0)),
-            d_hash=put_s(_pad_rows(dh_rows, HASH_SENTINEL)),
-            d_track=put_s(_pad_rows(dt_rows, 0)),
-            d_time=put_s(_pad_rows(dti_rows, 0)),
+            d_hash=put_s(_pad_rows(dh_rows, HASH_SENTINEL, _delta_row_pad_min(d))),
+            d_track=put_s(_pad_rows(dt_rows, 0, _delta_row_pad_min(d))),
+            d_time=put_s(_pad_rows(dti_rows, 0, _delta_row_pad_min(d))),
             d_count=put_s(np.asarray(d_counts, np.int32)),
             hash_base=put_s(np.asarray(bases, np.int32)),
             track_valid=jax.device_put(idx.track_valid, repl),
             version=idx.version,
+            merge_gen=idx.merge_gen,
+        )
+
+    @classmethod
+    def _delta_update(cls, idx, mesh: Mesh, prev: "ShardedDeviceIndex"):
+        """Re-place only the delta rows + tombstones; main tier is reused."""
+        d = mesh.devices.size
+        span = spec.HASH_SPACE // d
+        dh_rows, dt_rows, dti_rows, d_counts = [], [], [], []
+        for s in range(d):
+            lo, hi = s * span, (s + 1) * span
+            da = int(np.searchsorted(idx.d_hash, lo, side="left"))
+            db = int(np.searchsorted(idx.d_hash, hi, side="left"))
+            dh_rows.append(idx.d_hash[da:db])
+            dt_rows.append(idx.d_track[da:db])
+            dti_rows.append(idx.d_time[da:db])
+            d_counts.append(db - da)
+        shard = NamedSharding(mesh, P(SHARD_AXIS))
+        repl = NamedSharding(mesh, P())
+        put_s = functools.partial(jax.device_put, device=shard)
+        return cls(
+            offsets=prev.offsets,
+            tracks=prev.tracks,
+            times=prev.times,
+            d_hash=put_s(_pad_rows(dh_rows, HASH_SENTINEL, _delta_row_pad_min(d))),
+            d_track=put_s(_pad_rows(dt_rows, 0, _delta_row_pad_min(d))),
+            d_time=put_s(_pad_rows(dti_rows, 0, _delta_row_pad_min(d))),
+            d_count=put_s(np.asarray(d_counts, np.int32)),
+            hash_base=prev.hash_base,
+            track_valid=jax.device_put(idx.track_valid, repl),
+            version=idx.version,
+            merge_gen=idx.merge_gen,
         )
 
 
@@ -122,7 +174,7 @@ jax.tree_util.register_dataclass(
         "offsets", "tracks", "times",
         "d_hash", "d_track", "d_time", "d_count", "hash_base", "track_valid",
     ],
-    meta_fields=["version"],
+    meta_fields=["version", "merge_gen"],
 )
 
 

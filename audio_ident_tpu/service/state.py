@@ -246,7 +246,11 @@ class EngineState:
             self._device_index is None
             or self._device_index.version != self.fp_index.version
         ):
-            self._device_index = DeviceIndex.from_host(self.fp_index)
+            # prev reuses the resident main tier between compactions — only
+            # the delta crosses the host->device boundary per ingest
+            self._device_index = DeviceIndex.from_host(
+                self.fp_index, prev=self._device_index
+            )
         return self._device_index
 
     def _current_exact_lane(self) -> ExactLane:
@@ -258,7 +262,7 @@ class EngineState:
                 or self._sharded_index.version != self.fp_index.version
             ):
                 self._sharded_index = ShardedDeviceIndex.from_host(
-                    self.fp_index, self.mesh
+                    self.fp_index, self.mesh, prev=self._sharded_index
                 )
             return ExactLane.sharded(self._sharded_index, self.mesh)
         return ExactLane(self._current_device_index())

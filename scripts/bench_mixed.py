@@ -60,7 +60,10 @@ def pctl(xs: list[float], p: float) -> float:
 async def bench(args: argparse.Namespace) -> dict:
     import tempfile
 
-    data_root = Path(tempfile.mkdtemp(prefix="bench_mixed_"))
+    # a persistent --data-root keeps the snapshot phase's output on disk so
+    # the 100k HTTP latency run (scripts/eval_latency.py against a service
+    # booted from this index) reuses the pre-populated index for free
+    data_root = args.data_root or Path(tempfile.mkdtemp(prefix="bench_mixed_"))
     engine = EngineState(
         max_tracks=1 << 20,
         index_dir=data_root / "index",
@@ -71,14 +74,18 @@ async def bench(args: argparse.Namespace) -> dict:
     )
 
     # -- pre-populate: planted real tracks + synthetic bulk ------------------
+    # (skipped when --data-root restored an already-populated snapshot; the
+    # planted audio is regenerated deterministically for query ground truth)
     rng = np.random.default_rng(0)
     n_real = 6
+    restored = engine.fp_index.num_tracks >= args.tracks
     real_audio = []
     for i in range(n_real):
         x = synth_audio(np.random.default_rng(8800 + i), 30.0)
         real_audio.append(x)
-        h, t, v = fingerprint_np(x)
-        engine.fp_index.add_track(f"20000000-0000-0000-0000-{i:012d}", h, t, v)
+        if not restored:
+            h, t, v = fingerprint_np(x)
+            engine.fp_index.add_track(f"20000000-0000-0000-0000-{i:012d}", h, t, v)
     n_post_per = int(30.0 * spec.PEAKS_PER_SEC * spec.FAN_OUT * 0.8)
     done = engine.fp_index.num_tracks
     while done < args.tracks:
@@ -205,6 +212,7 @@ def main() -> None:
     ap.add_argument("--phase-sec", type=float, default=20.0)
     ap.add_argument("--ingest-tracks", type=int, default=150)
     ap.add_argument("--compact-threshold", type=int, default=60_000)
+    ap.add_argument("--data-root", type=Path, default=None)
     ap.add_argument("--json", type=Path, default=None)
     args = ap.parse_args()
     report = asyncio.run(bench(args))

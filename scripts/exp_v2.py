@@ -39,9 +39,17 @@ from audio_ident_tpu.service.audio import decode_wav  # noqa: E402
 ROOT = Path(__file__).resolve().parent.parent
 CACHE = ROOT / ".exp_cache"
 LIB = ROOT / "eval_lib"
-# the r4 real-codec corpus supersedes the r3 one; use whichever exists
+# newest corpus wins (r5 adds full-power pink cells)
 CORPUS = next(
-    (p for p in (ROOT / "eval_corpus_r4", ROOT / "eval_corpus") if p.exists()),
+    (
+        p
+        for p in (
+            ROOT / "eval_corpus_r5",
+            ROOT / "eval_corpus_r4",
+            ROOT / "eval_corpus",
+        )
+        if p.exists()
+    ),
     ROOT / "eval_corpus",
 )
 
@@ -509,6 +517,31 @@ VARIANTS = {
     "cfar100": Variant(
         "cfar100", mode="global", sub_time_radius=31, peaks_per_sec=30,
         cfar_floor_std=1.0,
+    ),
+    # v3 candidates (round 5, pink-noise floor): the failure physics is
+    # BAND COVERAGE — music energy (and so the clean db constellation)
+    # concentrates in low bands, pink noise masks exactly those bands, and
+    # the query's surviving high-band peaks find no db counterpart.  Two
+    # families attack that: frequency-envelope whitening (flattens the
+    # music's own tilt at ingest so high-band peaks win db slots) and
+    # banded quotas (hard per-band coverage).
+    "v2w48": Variant(
+        "v2w48", mode="global", sub_time_radius=31, peaks_per_sec=30,
+        whiten_radius=48,
+    ),
+    "v2w96": Variant(
+        "v2w96", mode="global", sub_time_radius=31, peaks_per_sec=30,
+        whiten_radius=96,
+    ),
+    "v2w24": Variant(
+        "v2w24", mode="global", sub_time_radius=31, peaks_per_sec=30,
+        whiten_radius=24,
+    ),
+    "banded_tw": Variant("banded_tw", sub_time_radius=31),
+    "banded_tw4": Variant("banded_tw4", sub_time_radius=31, per_cell=4),
+    "v2w48_cfar50": Variant(
+        "v2w48_cfar50", mode="global", sub_time_radius=31, peaks_per_sec=30,
+        whiten_radius=48, cfar_floor_std=0.5,
     ),
 }
 

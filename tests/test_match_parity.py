@@ -162,3 +162,87 @@ def test_empty_index_query():
     assert (res.track == -1).all()
     t, a, o = _match_dev(idx, qh, qt, qv)
     np.testing.assert_array_equal(t, res.track)
+
+
+def test_incremental_mirror_reuses_main_tier_and_stays_exact():
+    """Between compactions, DeviceIndex.from_host(prev=...) must reuse the
+    resident main-tier device arrays (no multi-GB re-upload per ingest —
+    the serving-under-ingest fix) while producing BIT-IDENTICAL match
+    results to a from-scratch mirror; after a compaction it must rebuild."""
+    from audio_ident_tpu.index.match import match_device
+
+    idx, audios = _build_library(n_tracks=5)
+    idx.merge_delta()
+    base = DeviceIndex.from_host(idx)
+
+    # churn: new track into the delta, one deletion (tombstone only)
+    extra = synth_audio(np.random.default_rng(4242), 30.0)
+    h, t, v = fingerprint_np(extra)
+    row_new = idx.add_track("00000000-0000-0000-0000-00000000fffe", h, t, v)
+    idx.delete_track("00000000-0000-0000-0000-000000000001")
+
+    inc = DeviceIndex.from_host(idx, prev=base)
+    full = DeviceIndex.from_host(idx)
+    # main tier is literally the same device buffers
+    assert inc.tracks is base.tracks and inc.times is base.times
+    assert inc.offsets is base.offsets and inc.merge_gen == base.merge_gen
+    # results identical to the from-scratch mirror, including the fresh
+    # delta track and the tombstoned one
+    for q_audio, want in (
+        (extra[: 8 * spec.SAMPLE_RATE], row_new),
+        (audios[2][: 8 * spec.SAMPLE_RATE], 2),
+    ):
+        qh, qt, qv = _query_fp(q_audio)
+        r_inc = [np.asarray(a) for a in match_device(
+            qh.astype(np.int32), qt.astype(np.int32), qv, inc)]
+        r_full = [np.asarray(a) for a in match_device(
+            qh.astype(np.int32), qt.astype(np.int32), qv, full)]
+        for a, b in zip(r_inc, r_full):
+            np.testing.assert_array_equal(a, b)
+        assert int(r_inc[0][0]) == want
+    # deleted track filtered through the re-uploaded tombstones
+    qh, qt, qv = _query_fp(audios[1][: 8 * spec.SAMPLE_RATE])
+    r = [np.asarray(a) for a in match_device(
+        qh.astype(np.int32), qt.astype(np.int32), qv, inc)]
+    assert int(r[0][0]) != 1
+
+    # compaction bumps the generation -> full rebuild, fresh buffers
+    idx.merge_delta()
+    rebuilt = DeviceIndex.from_host(idx, prev=inc)
+    assert rebuilt.merge_gen == idx.merge_gen != inc.merge_gen
+    assert rebuilt.tracks is not inc.tracks
+
+
+def test_incremental_sharded_mirror_bit_identical():
+    """Sharded twin of the incremental-mirror test: delta-only updates on
+    the mesh must match a from-scratch sharded mirror bit-for-bit."""
+    import jax
+
+    from audio_ident_tpu.parallel import (
+        ShardedDeviceIndex,
+        make_index_mesh,
+        sharded_match,
+    )
+
+    cpu_mesh = make_index_mesh(jax.devices()[:8])
+    idx, audios = _build_library(n_tracks=5, seed0=300)
+    idx.merge_delta()
+    base = ShardedDeviceIndex.from_host(idx, cpu_mesh)
+
+    extra = synth_audio(np.random.default_rng(777), 30.0)
+    h, t, v = fingerprint_np(extra)
+    row_new = idx.add_track("00000000-0000-0000-0000-00000000fffd", h, t, v)
+    idx.flush()
+
+    inc = ShardedDeviceIndex.from_host(idx, cpu_mesh, prev=base)
+    full = ShardedDeviceIndex.from_host(idx, cpu_mesh)
+    assert inc.tracks is base.tracks and inc.offsets is base.offsets
+
+    qh, qt, qv = _query_fp(extra[: 8 * spec.SAMPLE_RATE])
+    r_inc = [np.asarray(a) for a in sharded_match(
+        qh.astype(np.int32), qt.astype(np.int32), qv, inc, cpu_mesh)]
+    r_full = [np.asarray(a) for a in sharded_match(
+        qh.astype(np.int32), qt.astype(np.int32), qv, full, cpu_mesh)]
+    for a, b in zip(r_inc, r_full):
+        np.testing.assert_array_equal(a, b)
+    assert int(r_inc[0][0]) == row_new

@@ -151,7 +151,7 @@ async def test_snapshot_absorbs_wal_and_is_atomic(tmp_path):
     assert not list(e1.wal.replay())
     assert snapshot_exists(idx_dir)
     manifest = json.loads((idx_dir / "MANIFEST.json").read_text())
-    assert (idx_dir / manifest["main"]).exists()
+    assert all((idx_dir / n).exists() for n in manifest["main_shards"])
     assert (idx_dir / manifest["delta"]).exists()
     assert (idx_dir / manifest["registry"]).exists()
     # no tmp litter (atomic writes completed)
