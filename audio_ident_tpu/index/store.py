@@ -99,6 +99,15 @@ def write_snapshot(path: str | Path, snap: IndexSnapshot) -> None:
         json.dumps(
             {
                 "main_shards": main_names,
+                # per-shard posting counts let the loader compute every
+                # shard's destination base up front and decode shards
+                # fully in parallel (valid until the next merge_gen —
+                # exactly the lifetime of the main shard files)
+                "main_shard_postings": [
+                    int(snap.offsets[(k + 1) * (spec.HASH_SPACE // n_shards)])
+                    - int(snap.offsets[k * (spec.HASH_SPACE // n_shards)])
+                    for k in range(n_shards)
+                ],
                 "delta": delta_name,
                 "registry": reg_name,
                 "version": snap.version,
@@ -199,45 +208,88 @@ def _write_main_shards(
             f.result()
 
 
-def _load_main_shards(path: Path, names: list[str]) -> dict:
-    """Parallel restore of the sharded main CSR into preallocated arrays."""
+def _decode_shard_into(
+    d: dict, offsets: np.ndarray, tracks: np.ndarray, times: np.ndarray,
+    base: int,
+) -> int:
+    """Reverse one shard's preconditioning into the preallocated arrays.
+
+    Bit-exact inverse of _write_main_shards' encoding.  All writes land in
+    disjoint slices, so shards may decode concurrently when their bases
+    are known up front.  Returns the shard's posting count."""
+    lo, hi, n = int(d["h_lo"]), int(d["h_hi"]), int(d["n_postings"])
+    np.cumsum(d["counts"], dtype=np.int64, out=offsets[lo + 1 : hi + 1])
+    if base:
+        offsets[lo + 1 : hi + 1] += base
+    if n:
+        np.cumsum(d["tracks_delta"], out=tracks[base : base + n])
+        hi_bits = np.unpackbits(d["times_hi"], count=n, bitorder="little")
+        # two single-pass ufuncs into the preallocated destination
+        # (hi<<16 has no overlap with the 16-bit lo, so add == or);
+        # the temp-chain formulation (astype | astype<<16) measured
+        # 5.8 s/shard on this host vs ~1.5 s for this one
+        dst = times[base : base + n]
+        np.multiply(hi_bits, np.int32(1 << 16), out=dst, casting="unsafe")
+        np.add(dst, d["times_lo"], out=dst, casting="unsafe")
+    d.clear()
+    return n
+
+
+def _load_main_shards(
+    path: Path, names: list[str], shard_postings: list[int] | None = None
+) -> dict:
+    """Parallel restore of the sharded main CSR into preallocated arrays.
+
+    When the manifest carries per-shard posting counts (r5), each shard's
+    destination base is known before any file is read, so decompression
+    AND decode run concurrently per shard (numpy ufuncs and the zstd
+    reader both release the GIL); a multi-core host restores in
+    ~max(shard) time.  Without counts (older manifests), decode is
+    serialized after a parallel load."""
     import concurrent.futures as cf
     import os
 
-    # shard payloads are independent: threads overlap decompression (the
-    # zstd reader releases the GIL) and the decode writes land directly in
-    # the preallocated final arrays
     offsets = np.zeros(spec.HASH_SPACE + 1, np.int64)
-    results: list[dict] = [None] * len(names)  # type: ignore[list-item]
-
-    def load_one(i: int) -> None:
-        results[i] = snapio.load_arrays(path / names[i])
-
     workers = max(2, min(len(names), (os.cpu_count() or 1) * 2))
-    with cf.ThreadPoolExecutor(max_workers=workers) as ex:
-        for f in [ex.submit(load_one, i) for i in range(len(names))]:
-            f.result()
 
-    results.sort(key=lambda d: int(d["h_lo"]))
-    total = sum(int(d["n_postings"]) for d in results)
-    tracks = np.empty(total, np.int32)
-    times = np.empty(total, np.int32)
-    base = 0
-    for d in results:
-        lo, hi, n = int(d["h_lo"]), int(d["h_hi"]), int(d["n_postings"])
-        np.cumsum(d["counts"], dtype=np.int64, out=offsets[lo + 1 : hi + 1])
-        if base:
-            offsets[lo + 1 : hi + 1] += base
-        if n:
-            np.cumsum(d["tracks_delta"], out=tracks[base : base + n])
-            hi_bits = np.unpackbits(
-                d["times_hi"], count=n, bitorder="little"
-            ).astype(np.int32)
-            times[base : base + n] = d["times_lo"].astype(np.int32) | (
-                hi_bits << 16
-            )
-        base += n
-        d.clear()
+    if shard_postings is not None and len(shard_postings) == len(names):
+        bases = [0]
+        for n in shard_postings:
+            bases.append(bases[-1] + int(n))
+        total = bases[-1]
+        tracks = np.empty(total, np.int32)
+        times = np.empty(total, np.int32)
+
+        def load_decode(i: int) -> None:
+            d = snapio.load_arrays(path / names[i])
+            if int(d["n_postings"]) != shard_postings[i]:
+                raise ValueError(
+                    f"{names[i]}: manifest says {shard_postings[i]} postings,"
+                    f" payload has {int(d['n_postings'])}"
+                )
+            _decode_shard_into(d, offsets, tracks, times, bases[i])
+
+        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+            for f in [ex.submit(load_decode, i) for i in range(len(names))]:
+                f.result()
+    else:
+        results: list[dict] = [None] * len(names)  # type: ignore[list-item]
+
+        def load_one(i: int) -> None:
+            results[i] = snapio.load_arrays(path / names[i])
+
+        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+            for f in [ex.submit(load_one, i) for i in range(len(names))]:
+                f.result()
+
+        results.sort(key=lambda d: int(d["h_lo"]))
+        total = sum(int(d["n_postings"]) for d in results)
+        tracks = np.empty(total, np.int32)
+        times = np.empty(total, np.int32)
+        base = 0
+        for d in results:
+            base += _decode_shard_into(d, offsets, tracks, times, base)
+
     return {
         "format_version": np.array(spec.FORMAT_VERSION, np.int32),
         "offsets": offsets,
@@ -669,7 +721,11 @@ class FingerprintIndex:
             manifest = json.loads(manifest_path.read_text())
             reg = json.loads((path / manifest["registry"]).read_text())
             if "main_shards" in manifest:  # round-5 per-shard layout
-                data = _load_main_shards(path, manifest["main_shards"])
+                data = _load_main_shards(
+                    path,
+                    manifest["main_shards"],
+                    manifest.get("main_shard_postings"),
+                )
                 data.update(snapio.load_arrays(path / manifest["delta"]))
                 merge_gen = int(manifest.get("merge_gen", 0))
             elif "main" in manifest:  # round-3 incremental layout

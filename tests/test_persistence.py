@@ -201,6 +201,26 @@ def test_sharded_snapshot_roundtrip_bit_exact(tmp_path, monkeypatch):
         assert reborn.row_to_uuid == idx.row_to_uuid
         assert reborn.merge_gen == idx.merge_gen
 
+        # r5: the manifest's main_shard_postings enable fully-parallel
+        # decode; an r4-era manifest WITHOUT them must take the sequential
+        # fallback and restore the identical arrays
+        import json as _json
+        man_path = d / "MANIFEST.json"
+        man = _json.loads(man_path.read_text())
+        assert man["main_shard_postings"] == [
+            int((d / n).stat().st_size >= 0)
+            and int(np.sum(np.diff(idx.offsets)[
+                k * (len(idx.offsets) - 1) // int(shards):
+                (k + 1) * (len(idx.offsets) - 1) // int(shards)]))
+            for k, n in enumerate(man["main_shards"])
+        ]
+        del man["main_shard_postings"]
+        man_path.write_text(_json.dumps(man))
+        legacy = FingerprintIndex.load(d)
+        np.testing.assert_array_equal(legacy.offsets, idx.offsets)
+        np.testing.assert_array_equal(legacy.tracks, idx.tracks)
+        np.testing.assert_array_equal(legacy.times, idx.times)
+
 
 def test_load_round3_single_main_layout(tmp_path):
     """Snapshots written by the r3/r4 incremental layout (one main file,
