@@ -134,6 +134,9 @@ class EngineState:
         else:
             self.fp_index = FingerprintIndex(max_tracks=max_tracks)
         self._device_index: DeviceIndex | None = None
+        # set while a post-merge mirror refresh uploads off-thread (see
+        # _refresh_mirror_after_merge); queries keep the resident mirror
+        self._mirror_refresh_inflight = False
         self._tpu = ThreadPoolExecutor(max_workers=1, thread_name_prefix="tpu")
         self._write_lock = asyncio.Lock()
         self.defer_rewarm = False  # batch ingest sets this (see above)
@@ -242,6 +245,20 @@ class EngineState:
     # -- device mirror ---------------------------------------------------------
 
     def _current_device_index(self) -> DeviceIndex:
+        if (
+            self._device_index is not None
+            and self._mirror_refresh_inflight
+            and self._device_index.merge_gen != self.fp_index.merge_gen
+        ):
+            # a compaction reorganized the main tier and its refreshed
+            # mirror is uploading on another thread.  The resident mirror
+            # still holds every pre-merge posting (a merge moves data, it
+            # does not change it), so serve it rather than serializing a
+            # multi-GB main-tier upload onto the query path (measured as
+            # a 140 s first-query stall at 100k tracks, mixed_r05.json).
+            # Ingests landed SINCE the merge become searchable when the
+            # refresh installs (seconds; milliseconds on-host).
+            return self._device_index
         if (
             self._device_index is None
             or self._device_index.version != self.fp_index.version
@@ -612,10 +629,81 @@ class EngineState:
         self.compaction_stats["postings_merged"] += n_delta
         logger.info("LSM compaction: merged %d delta postings", n_delta)
         if not self.defer_rewarm and not _no_bg_rewarm():
-            asyncio.get_running_loop().run_in_executor(
-                self._tpu, self._rewarm_if_grown
+            asyncio.get_running_loop().create_task(
+                self._refresh_mirror_after_merge()
             )
         return n_delta
+
+    async def _refresh_mirror_after_merge(self) -> None:
+        """Upload-before-flip: rebuild the post-merge device mirror OFF the
+        dispatch thread, then atomically install it.
+
+        A merge invalidates the resident main tier, so the next mirror
+        rebuild must re-ship the whole main CSR host->device.  Doing that
+        lazily put the transfer on whichever query came first — measured
+        as a 140 s stall at 100k tracks through the ~31 MB/s dev-tunnel
+        (mixed_r05.json, the lone baseline_after query).  Instead the bulk
+        upload runs here on a plain thread (jax.device_put is thread-safe;
+        transfers interleave with query dispatches), while queries keep
+        the content-equivalent pre-merge mirror via the inflight guard in
+        _current_device_index; only the final delta top-up + pointer swap
+        touch the dispatch thread."""
+        try:
+            if self.mesh is not None or self._device_index is None:
+                # sharded path / nothing resident: no stall to hide
+                await asyncio.get_running_loop().run_in_executor(
+                    self._tpu, self._rewarm_if_grown
+                )
+                return
+            self._mirror_refresh_inflight = True
+            try:
+                def capture():
+                    # on the dispatch thread: flush pending appends so the
+                    # captured refs are complete; arrays are copy-on-write
+                    self.fp_index.flush()
+                    return (
+                        self.fp_index.offsets, self.fp_index.tracks,
+                        self.fp_index.times, self.fp_index.merge_gen,
+                    )
+
+                offsets, tracks, times, gen = await self._run(capture)
+
+                def upload():
+                    import jax
+
+                    return (
+                        jax.device_put(offsets.astype(np.int32)),
+                        jax.device_put(DeviceIndex._pad_pow2(tracks, 0)),
+                        jax.device_put(DeviceIndex._pad_pow2(times, 0)),
+                        jax.device_put(np.int32(len(tracks))),
+                    )
+
+                o, tr, tm, nm = await asyncio.to_thread(upload)
+
+                def install():
+                    if self._closed or self.fp_index.merge_gen != gen:
+                        return  # a newer merge owns the next refresh
+                    import dataclasses
+
+                    seed = dataclasses.replace(
+                        self._device_index,
+                        offsets=o, tracks=tr, times=tm, n_main=nm,
+                        merge_gen=gen,
+                    )
+                    # generation matches -> from_host reuses the uploaded
+                    # main tier and ships only the (small) current delta
+                    self._device_index = DeviceIndex.from_host(
+                        self.fp_index, prev=seed
+                    )
+
+                await self._run(install)
+            finally:
+                self._mirror_refresh_inflight = False
+            await asyncio.get_running_loop().run_in_executor(
+                self._tpu, self._rewarm_if_grown
+            )
+        except Exception:  # noqa: BLE001 — refresh must never kill serving
+            logger.exception("background mirror refresh failed")
 
     async def content_fingerprint(self, pcm_16k: np.ndarray) -> np.ndarray:
         """Dedup robust-hash on device (the float64 NumPy golden takes

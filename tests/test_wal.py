@@ -362,6 +362,58 @@ async def test_hot_bucket_probing_is_fair_and_compaction_preserves_it(tmp_path):
     await engine.close()
 
 
+async def test_post_merge_mirror_refresh_upload_before_flip(monkeypatch):
+    """mixed_r05 found the FIRST query after a merge paying the full
+    main-tier mirror re-upload (140 s at 100k through the tunnel).  The
+    refresh must now run off the dispatch thread: while it is in flight
+    queries serve the content-equivalent pre-merge mirror, and afterwards
+    the installed mirror carries the new merge generation — with results
+    identical throughout."""
+    import asyncio
+
+    from audio_ident_tpu.service import state as state_mod
+    from tests.conftest import synth_audio
+
+    monkeypatch.setattr(state_mod, "_no_bg_rewarm", lambda: False)
+    engine = EngineState(max_tracks=64, compact_delta_postings=0)  # auto off
+    clips = [synth_audio(np.random.default_rng(9100 + i), 8.0) for i in range(3)]
+    for i, c in enumerate(clips):
+        await engine.fingerprint_and_index(f"{i:032d}", c)
+    q = clips[1][16000 * 1 : 16000 * 7]
+    res = await engine.exact_search(q)
+    assert res and res[0].track_row == 1
+    pre_mirror = engine._device_index
+    assert pre_mirror is not None
+
+    # the inflight guard: with a refresh pending, a merged index must NOT
+    # trigger a synchronous main-tier rebuild on the query path
+    engine._mirror_refresh_inflight = True
+    engine.fp_index.merge_delta()  # merge_gen bumps; resident mirror stale
+    assert engine._current_device_index() is pre_mirror
+    engine._mirror_refresh_inflight = False
+
+    # the real flow: compact() schedules the off-thread refresh which
+    # installs a mirror at the new generation
+    for i, c in enumerate(clips):  # new delta so compact() has work
+        await engine.fingerprint_and_index(f"1{i:031d}", c)
+    await engine.compact()
+    for _ in range(200):
+        if (
+            not engine._mirror_refresh_inflight
+            and engine._device_index is not None
+            and engine._device_index.merge_gen == engine.fp_index.merge_gen
+        ):
+            break
+        await asyncio.sleep(0.05)
+    assert engine._device_index.merge_gen == engine.fp_index.merge_gen
+    assert engine._device_index is not pre_mirror
+    res = await engine.exact_search(q, max_results=6)
+    rows = {c.track_row for c in res}
+    assert 1 in rows and 4 in rows  # both copies of clip 1 found post-refresh
+    assert res[0].confidence == 1.0
+    await engine.close()
+
+
 async def test_auto_compaction_triggers_in_service_path(tmp_path):
     """Ingesting past compact_delta_postings must schedule a background
     merge with no explicit call — the serving path finally invokes
